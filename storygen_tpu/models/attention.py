@@ -1,0 +1,201 @@
+"""VLCM transformer block: self-attn, text-cross-attn, image-cross-attn, FF.
+
+This is the StoryGen core novelty re-built for TPU. Capability parity with
+model/attention.py in the reference:
+
+- `BasicTransformerBlock` = attn1 (self) + attn2 (text cross, kv dim 768)
+  + attn3 (image cross, kv dim = query dim) + GEGLU feed-forward
+  (model/attention.py:131-302).
+- The *feature tap*: the hidden state right after the self-attention
+  residual is returned as `img_dif_condition` (model/attention.py:262-263).
+- Text and image branches run in parallel from the same post-self-attn
+  state and are summed: h = h_t + h_i (model/attention.py:277,291-293).
+
+TPU-first differences from the reference:
+- One pure function with an optional `image_context` input instead of two
+  stateful code paths; jit specializes the two cycles into separate
+  executables.
+- Attention runs through ops/attention.py (XLA einsum or Pallas flash).
+- NHWC spatial layout; projection in/out via 1x1 conv == Dense on the
+  channel axis (mathematically identical, one fused matmul on the MXU).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from storygen_tpu.models.layers import GroupNorm
+from storygen_tpu.ops.attention import multi_head_attention
+
+Dtype = Any
+
+
+class CrossAttention(nn.Module):
+    """QKV-projected multi-head attention (diffusers CrossAttention parity;
+    used at model/attention.py:175,192,215). No bias on q/k/v, bias on out."""
+    query_dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None  # None -> self-attention
+    dtype: Dtype = jnp.float32
+    backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array,
+                 encoder_hidden_states: Optional[jax.Array] = None,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
+        inner_dim = self.heads * self.dim_head
+        context = (hidden_states if encoder_hidden_states is None
+                   else encoder_hidden_states)
+        q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype,
+                     name="to_q")(hidden_states)
+        k = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype,
+                     name="to_k")(context)
+        v = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype,
+                     name="to_v")(context)
+        out = multi_head_attention(q, k, v, self.heads, mask=mask,
+                                   backend=self.backend)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class GEGLU(nn.Module):
+    """x W1 * gelu(x W2), packed as one (dim -> 2*inner) projection
+    (model/attention.py:373-393; chunk order: value first, gate second)."""
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        proj = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        value, gate = jnp.split(proj, 2, axis=-1)
+        return value * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """GEGLU -> Dense, mult=4 (model/attention.py:305-350)."""
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics (torch nn.LayerNorm parity, eps 1e-5)."""
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (xf * scale + bias).astype(orig_dtype)
+
+
+class BasicTransformerBlock(nn.Module):
+    """attn1 -> [tap] -> (attn2 || attn3) -> sum -> FF.
+
+    Returns (hidden_states, img_dif_condition) where the condition is the
+    post-attn1 hidden state (model/attention.py:236-302).
+    """
+    dim: int
+    num_heads: int
+    head_dim: int
+    cross_attention_dim: int = 768
+    dtype: Dtype = jnp.float32
+    attn_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array,
+                 encoder_hidden_states: jax.Array,
+                 image_hidden_states: Optional[jax.Array] = None,
+                 ) -> Tuple[jax.Array, jax.Array]:
+        # 1. self-attention
+        norm_h = LayerNorm(dtype=self.dtype, name="norm1")(hidden_states)
+        attn_out = CrossAttention(self.dim, self.num_heads, self.head_dim,
+                                  dtype=self.dtype, backend=self.attn_backend,
+                                  name="attn1")(norm_h)
+        hidden_states = attn_out + hidden_states
+        img_dif_condition = hidden_states  # feature tap (attention.py:263)
+
+        # 2. text cross-attention (branch from the shared state)
+        norm_t = LayerNorm(dtype=self.dtype, name="norm2")(hidden_states)
+        attn_t = CrossAttention(self.dim, self.num_heads, self.head_dim,
+                                cross_attention_dim=self.cross_attention_dim,
+                                dtype=self.dtype, backend=self.attn_backend,
+                                name="attn2")(
+            norm_t, encoder_hidden_states=encoder_hidden_states)
+        hidden_states_t = attn_t + hidden_states
+
+        # 3. image cross-attention (parallel branch; attention.py:281-293).
+        # attn3/norm4 parameters must exist in both cycles so the reference
+        # and image passes share one parameter pytree; when there is no image
+        # context the branch is skipped at trace time (dead-code-free jit).
+        norm_i = LayerNorm(dtype=self.dtype, name="norm4")(hidden_states)
+        attn3 = CrossAttention(self.dim, self.num_heads, self.head_dim,
+                               cross_attention_dim=self.dim,
+                               dtype=self.dtype, backend=self.attn_backend,
+                               name="attn3")
+        if image_hidden_states is not None:
+            attn_i = attn3(norm_i, encoder_hidden_states=image_hidden_states)
+            hidden_states = hidden_states_t + (attn_i + hidden_states)
+        else:
+            # Keep attn3 params initialized even on the reference cycle.
+            if self.is_initializing():
+                attn3(norm_i[:, :1], encoder_hidden_states=norm_i[:, :1])
+            hidden_states = hidden_states_t
+
+        # 4. feed-forward
+        norm_ff = LayerNorm(dtype=self.dtype, name="norm3")(hidden_states)
+        hidden_states = FeedForward(self.dim, dtype=self.dtype,
+                                    name="ff")(norm_ff) + hidden_states
+        return hidden_states, img_dif_condition
+
+
+class Transformer2DModel(nn.Module):
+    """GN -> 1x1 proj_in -> BasicTransformerBlock -> 1x1 proj_out + residual.
+
+    Parity: model/attention.py:26-128 (use_linear_projection=False variant;
+    the 1x1 convs are expressed as Dense over NHWC channels — identical math,
+    better XLA fusion).
+    """
+    num_heads: int
+    head_dim: int
+    in_channels: int
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    dtype: Dtype = jnp.float32
+    attn_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array,
+                 encoder_hidden_states: jax.Array,
+                 image_hidden_states: Optional[jax.Array] = None,
+                 ) -> Tuple[jax.Array, jax.Array]:
+        b, h, w, c = hidden_states.shape
+        inner_dim = self.num_heads * self.head_dim
+        residual = hidden_states
+        x = GroupNorm(self.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
+                      name="norm")(hidden_states)
+        x = nn.Dense(inner_dim, dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, inner_dim)
+        x, img_dif_condition = BasicTransformerBlock(
+            inner_dim, self.num_heads, self.head_dim,
+            cross_attention_dim=self.cross_attention_dim, dtype=self.dtype,
+            attn_backend=self.attn_backend, name="transformer_blocks_0")(
+            x, encoder_hidden_states, image_hidden_states)
+        x = x.reshape(b, h, w, inner_dim)
+        x = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out")(x)
+        return x + residual, img_dif_condition

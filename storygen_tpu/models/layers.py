@@ -1,0 +1,172 @@
+"""Core UNet building blocks, TPU-first (NHWC, bf16-friendly, fp32 norms).
+
+Capability parity with the layers the reference imports from diffusers 0.13
+(diffusers.models.resnet / embeddings, cited per class). These are new
+implementations in flax.linen; spatial tensors are NHWC (XLA's preferred
+TPU conv layout), not the reference's NCHW.
+
+Module/parameter naming mirrors the diffusers checkpoint key structure so
+that checkpoint/hf_import.py is a mechanical rename+transpose.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def get_timestep_embedding(timesteps: jax.Array, embedding_dim: int,
+                           flip_sin_to_cos: bool = True,
+                           downscale_freq_shift: float = 0.0,
+                           max_period: int = 10000,
+                           scale: float = 1.0) -> jax.Array:
+    """Sinusoidal timestep embedding.
+
+    Matches diffusers.models.embeddings.Timesteps as configured by the
+    reference UNet (model/unet_2d_condition.py:138: flip_sin_to_cos=True,
+    freq_shift=0). Always computed in fp32.
+    """
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = scale * emb
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """MLP over the sinusoidal embedding (diffusers TimestepEmbedding;
+    model/unet_2d_condition.py:145)."""
+    time_embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jax.Array) -> jax.Array:
+        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+                          name="linear_1")(sample)
+        sample = nn.silu(sample)
+        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+                          name="linear_2")(sample)
+        return sample
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics regardless of compute dtype."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        spatial = xf.shape[1:-1]
+        g = self.num_groups
+        xg = xf.reshape(xf.shape[0], *spatial, g, c // g)
+        red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = jnp.mean(xg, axis=red_axes, keepdims=True)
+        var = jnp.var(xg, axis=red_axes, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        xf = xg.reshape(xf.shape)
+        xf = xf * scale + bias
+        return xf.astype(orig_dtype)
+
+
+class Conv2D(nn.Module):
+    """3x3/1x1 conv over NHWC; thin wrapper pinning dtype policy."""
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(self.features,
+                       kernel_size=(self.kernel_size, self.kernel_size),
+                       strides=(self.strides, self.strides),
+                       padding=((self.padding, self.padding),
+                                (self.padding, self.padding)),
+                       dtype=self.dtype, name="conv")(x)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> SiLU -> conv -> +temb -> GN -> SiLU -> conv (+ 1x1 shortcut).
+
+    Parity: diffusers.models.resnet.ResnetBlock2D with
+    time_embedding_norm="default", output_scale_factor=1, pre_norm=True
+    (imported at model/unet_2d_blocks.py:5, instantiated e.g. :331-343).
+    """
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: Optional[jax.Array]) -> jax.Array:
+        in_channels = x.shape[-1]
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(h)
+        if temb is not None:
+            temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
+                                 name="time_emb_proj")(nn.silu(temb))
+            h = h + temb_proj[:, None, None, :]
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), padding="VALID",
+                        dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """Strided 3x3 conv, pad 1 (diffusers Downsample2D with use_conv=True,
+    name="op"; model/unet_2d_blocks.py:361-368)."""
+    out_channels: int
+    padding: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        p = self.padding
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                       padding=((p, p), (p, p)), dtype=self.dtype,
+                       name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x upsample + 3x3 conv (diffusers Upsample2D use_conv=True;
+    model/unet_2d_blocks.py:582)."""
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 output_size: Optional[Tuple[int, int]] = None) -> jax.Array:
+        b, h, w, c = x.shape
+        if output_size is None:
+            output_size = (h * 2, w * 2)
+        # nearest-neighbor upsample as repeat: exact match to F.interpolate
+        # (mode="nearest") for integer scale factors, and cheap on TPU.
+        x = jnp.repeat(jnp.repeat(x, output_size[0] // h, axis=1),
+                       output_size[1] // w, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv")(x)

@@ -1,0 +1,82 @@
+"""Multi-head attention ops for TPU.
+
+Two execution paths behind one API:
+
+- `xla`: einsum-based attention. XLA maps the batched matmuls onto the MXU
+  and fuses the softmax chain; softmax statistics are computed in fp32.
+- `flash`: Pallas fused attention (ops/pallas_attention.py) that never
+  materializes the (Sq, Skv) logits in HBM — the win at Sq=4096 where the
+  naive path writes 4096^2 logits per (batch, head).
+
+Capability parity target: diffusers 0.13 CrossAttention + xformers
+memory-efficient attention as used by the reference
+(model/attention.py:175-223, train_StorySalon_stage2.py:159-161).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Flipped to True once the Pallas kernel is validated on-device; can be
+# overridden per-call or via set_default_backend.
+_DEFAULT_BACKEND = "xla"
+
+
+def set_default_backend(backend: str) -> None:
+    global _DEFAULT_BACKEND
+    assert backend in ("xla", "flash")
+    _DEFAULT_BACKEND = backend
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """(B, S, H*D) -> (B, H, S, D)."""
+    b, s, hd = x.shape
+    return x.reshape(b, s, num_heads, hd // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, S, D) -> (B, S, H*D)."""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  scale: float,
+                  mask: Optional[jax.Array] = None) -> jax.Array:
+    """Attention over (B, H, S, D) tensors with fp32 softmax accumulation."""
+    dtype = q.dtype
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         num_heads: int,
+                         mask: Optional[jax.Array] = None,
+                         backend: Optional[str] = None) -> jax.Array:
+    """Full MHA over pre-projection tensors.
+
+    Args:
+      q: (B, Sq, H*D)
+      k, v: (B, Skv, H*D)
+      mask: optional broadcastable boolean (B, 1|H, Sq, Skv), True = keep.
+    Returns (B, Sq, H*D).
+    """
+    backend = backend or _DEFAULT_BACKEND
+    head_dim = q.shape[-1] // num_heads
+    scale = head_dim ** -0.5
+    qh, kh, vh = (split_heads(t, num_heads) for t in (q, k, v))
+    if backend == "flash" and mask is None:
+        from storygen_tpu.ops.pallas_attention import flash_attention
+        out = flash_attention(qh, kh, vh, scale=scale)
+    else:
+        out = xla_attention(qh, kh, vh, scale, mask=mask)
+    return merge_heads(out)

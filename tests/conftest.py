@@ -1,0 +1,27 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU answer to "test multi-chip without a cluster" (SURVEY.md §4):
+XLA_FLAGS=--xla_force_host_platform_device_count=8 gives 8 CPU devices that
+exercise the same pjit/shard_map partitioning paths as a v5e-8.
+
+Env vars must be set before jax initializes, hence this runs at conftest
+import time (before any test module imports jax).
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The sandbox's sitecustomize force-registers the axon TPU plugin and sets
+# jax_platforms="axon,cpu"; tests must run on the virtual 8-device CPU mesh,
+# so re-pin here (config.update wins — backends are initialized lazily).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
