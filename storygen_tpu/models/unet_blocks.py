@@ -1,0 +1,224 @@
+"""UNet down/mid/up blocks threading the VLCM image context.
+
+Capability parity with model/unet_2d_blocks.py, re-designed functionally:
+the reference's two stateful code paths per block ("reference cycle" that
+collects features at unet_2d_blocks.py:383-396 vs "image cycle" that
+consumes them at :397-428) become a single apply function whose
+`image_context` argument is either None (collect) or a dict pytree
+(consume). jit specializes each case into its own executable.
+
+Context keying preserved exactly for checkpoint/feature parity:
+- down blocks:  "down_{ln}_{i+1}", ln = 4 - H//16 clamped >=1
+  (unet_2d_blocks.py:380-381)
+- mid:          "mid" (unet_2d_blocks.py:291)
+- up blocks:    "up_{ln}_{i+1}", ln = H//16 clamped <=3
+  (unet_2d_blocks.py:600-601)
+
+H here is the latent spatial size at block entry, static under jit, so key
+computation happens at trace time in plain Python.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from storygen_tpu.models.attention import Transformer2DModel
+from storygen_tpu.models.layers import (Downsample2D, ResnetBlock2D,
+                                        Upsample2D)
+
+Dtype = Any
+Context = Dict[str, jax.Array]
+
+
+def down_block_key(height: int, layer_idx: int) -> str:
+    ln = max(4 - height // 16, 1)
+    return f"down_{ln}_{layer_idx + 1}"
+
+
+def up_block_key(height: int, layer_idx: int) -> str:
+    ln = min(height // 16, 3)
+    return f"up_{ln}_{layer_idx + 1}"
+
+
+class CrossAttnDownBlock2D(nn.Module):
+    """[Resnet -> Transformer2D] x layers -> Downsample
+    (unet_2d_blocks.py:300-436)."""
+    out_channels: int
+    num_layers: int = 2
+    num_heads: int = 8
+    cross_attention_dim: int = 768
+    resnet_groups: int = 32
+    resnet_eps: float = 1e-5
+    add_downsample: bool = True
+    downsample_padding: int = 1
+    dtype: Dtype = jnp.float32
+    attn_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array, temb: jax.Array,
+                 encoder_hidden_states: jax.Array,
+                 image_context: Optional[Context] = None,
+                 ) -> Tuple[jax.Array, Tuple[jax.Array, ...], Context]:
+        height = hidden_states.shape[1]
+        collected: Context = {}
+        output_states = ()
+        for i in range(self.num_layers):
+            hidden_states = ResnetBlock2D(
+                self.out_channels, groups=self.resnet_groups,
+                eps=self.resnet_eps, dtype=self.dtype,
+                name=f"resnets_{i}")(hidden_states, temb)
+            key = down_block_key(height, i)
+            img_ctx = None if image_context is None else image_context[key]
+            hidden_states, tap = Transformer2DModel(
+                self.num_heads, self.out_channels // self.num_heads,
+                in_channels=self.out_channels,
+                cross_attention_dim=self.cross_attention_dim,
+                norm_num_groups=self.resnet_groups, dtype=self.dtype,
+                attn_backend=self.attn_backend,
+                name=f"attentions_{i}")(hidden_states, encoder_hidden_states,
+                                        img_ctx)
+            if image_context is None:
+                collected[key] = tap
+            output_states += (hidden_states,)
+        if self.add_downsample:
+            hidden_states = Downsample2D(
+                self.out_channels, padding=self.downsample_padding,
+                dtype=self.dtype, name="downsamplers_0")(hidden_states)
+            output_states += (hidden_states,)
+        return hidden_states, output_states, collected
+
+
+class DownBlock2D(nn.Module):
+    """Resnet-only down block (unet_2d_blocks.py:439-515)."""
+    out_channels: int
+    num_layers: int = 2
+    resnet_groups: int = 32
+    resnet_eps: float = 1e-5
+    add_downsample: bool = True
+    downsample_padding: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array, temb: jax.Array,
+                 ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+        output_states = ()
+        for i in range(self.num_layers):
+            hidden_states = ResnetBlock2D(
+                self.out_channels, groups=self.resnet_groups,
+                eps=self.resnet_eps, dtype=self.dtype,
+                name=f"resnets_{i}")(hidden_states, temb)
+            output_states += (hidden_states,)
+        if self.add_downsample:
+            hidden_states = Downsample2D(
+                self.out_channels, padding=self.downsample_padding,
+                dtype=self.dtype, name="downsamplers_0")(hidden_states)
+            output_states += (hidden_states,)
+        return hidden_states, output_states
+
+
+class UNetMidBlock2DCrossAttn(nn.Module):
+    """Resnet -> Transformer2D -> Resnet (unet_2d_blocks.py:197-297)."""
+    in_channels: int
+    num_heads: int = 8
+    cross_attention_dim: int = 768
+    resnet_groups: int = 32
+    resnet_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    attn_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array, temb: jax.Array,
+                 encoder_hidden_states: jax.Array,
+                 image_context: Optional[Context] = None,
+                 ) -> Tuple[jax.Array, Context]:
+        hidden_states = ResnetBlock2D(
+            self.in_channels, groups=self.resnet_groups, eps=self.resnet_eps,
+            dtype=self.dtype, name="resnets_0")(hidden_states, temb)
+        img_ctx = None if image_context is None else image_context["mid"]
+        hidden_states, tap = Transformer2DModel(
+            self.num_heads, self.in_channels // self.num_heads,
+            in_channels=self.in_channels,
+            cross_attention_dim=self.cross_attention_dim,
+            norm_num_groups=self.resnet_groups, dtype=self.dtype,
+            attn_backend=self.attn_backend,
+            name="attentions_0")(hidden_states, encoder_hidden_states, img_ctx)
+        hidden_states = ResnetBlock2D(
+            self.in_channels, groups=self.resnet_groups, eps=self.resnet_eps,
+            dtype=self.dtype, name="resnets_1")(hidden_states, temb)
+        collected = {} if image_context is not None else {"mid": tap}
+        return hidden_states, collected
+
+
+class CrossAttnUpBlock2D(nn.Module):
+    """[concat-skip -> Resnet -> Transformer2D] x layers -> Upsample
+    (unet_2d_blocks.py:518-660)."""
+    out_channels: int
+    num_layers: int = 3
+    num_heads: int = 8
+    cross_attention_dim: int = 768
+    resnet_groups: int = 32
+    resnet_eps: float = 1e-5
+    add_upsample: bool = True
+    dtype: Dtype = jnp.float32
+    attn_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array,
+                 res_hidden_states_tuple: Tuple[jax.Array, ...],
+                 temb: jax.Array, encoder_hidden_states: jax.Array,
+                 image_context: Optional[Context] = None,
+                 ) -> Tuple[jax.Array, Context]:
+        height = hidden_states.shape[1]
+        collected: Context = {}
+        for i in range(self.num_layers):
+            res = res_hidden_states_tuple[-(i + 1)]
+            hidden_states = jnp.concatenate([hidden_states, res], axis=-1)
+            hidden_states = ResnetBlock2D(
+                self.out_channels, groups=self.resnet_groups,
+                eps=self.resnet_eps, dtype=self.dtype,
+                name=f"resnets_{i}")(hidden_states, temb)
+            key = up_block_key(height, i)
+            img_ctx = None if image_context is None else image_context[key]
+            hidden_states, tap = Transformer2DModel(
+                self.num_heads, self.out_channels // self.num_heads,
+                in_channels=self.out_channels,
+                cross_attention_dim=self.cross_attention_dim,
+                norm_num_groups=self.resnet_groups, dtype=self.dtype,
+                attn_backend=self.attn_backend,
+                name=f"attentions_{i}")(hidden_states, encoder_hidden_states,
+                                        img_ctx)
+            if image_context is None:
+                collected[key] = tap
+        if self.add_upsample:
+            hidden_states = Upsample2D(self.out_channels, dtype=self.dtype,
+                                       name="upsamplers_0")(hidden_states)
+        return hidden_states, collected
+
+
+class UpBlock2D(nn.Module):
+    """Resnet-only up block (unet_2d_blocks.py:663-733)."""
+    out_channels: int
+    num_layers: int = 3
+    resnet_groups: int = 32
+    resnet_eps: float = 1e-5
+    add_upsample: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array,
+                 res_hidden_states_tuple: Tuple[jax.Array, ...],
+                 temb: jax.Array) -> jax.Array:
+        for i in range(self.num_layers):
+            res = res_hidden_states_tuple[-(i + 1)]
+            hidden_states = jnp.concatenate([hidden_states, res], axis=-1)
+            hidden_states = ResnetBlock2D(
+                self.out_channels, groups=self.resnet_groups,
+                eps=self.resnet_eps, dtype=self.dtype,
+                name=f"resnets_{i}")(hidden_states, temb)
+        if self.add_upsample:
+            hidden_states = Upsample2D(self.out_channels, dtype=self.dtype,
+                                       name="upsamplers_0")(hidden_states)
+        return hidden_states
