@@ -117,7 +117,8 @@ class UNet2DConditionModel(nn.Module):
             is_final = i == len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnDownBlock2D":
                 blk = maybe_remat(B.CrossAttnDownBlock2D)(
-                    out_channels=out_ch, num_layers=cfg.layers_per_block,
+                    out_channels=out_ch, block_idx=i,
+                    num_layers=cfg.layers_per_block,
                     num_heads=cfg.num_heads,
                     cross_attention_dim=cfg.cross_attention_dim,
                     resnet_groups=cfg.norm_num_groups,
@@ -162,7 +163,8 @@ class UNet2DConditionModel(nn.Module):
             down_res = down_res[:-n_layers]
             if block_type == "CrossAttnUpBlock2D":
                 blk = maybe_remat(B.CrossAttnUpBlock2D)(
-                    out_channels=out_ch, num_layers=n_layers,
+                    out_channels=out_ch, block_idx=i,
+                    num_layers=n_layers,
                     num_heads=cfg.num_heads,
                     cross_attention_dim=cfg.cross_attention_dim,
                     resnet_groups=cfg.norm_num_groups,

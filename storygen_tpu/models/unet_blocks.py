@@ -7,15 +7,13 @@ consumes them at :397-428) become a single apply function whose
 `image_context` argument is either None (collect) or a dict pytree
 (consume). jit specializes each case into its own executable.
 
-Context keying preserved exactly for checkpoint/feature parity:
-- down blocks:  "down_{ln}_{i+1}", ln = 4 - H//16 clamped >=1
-  (unet_2d_blocks.py:380-381)
-- mid:          "mid" (unet_2d_blocks.py:291)
-- up blocks:    "up_{ln}_{i+1}", ln = H//16 clamped <=3
-  (unet_2d_blocks.py:600-601)
-
-H here is the latent spatial size at block entry, static under jit, so key
-computation happens at trace time in plain Python.
+Context keying: the reference derives keys from the latent spatial size at
+block entry ("down_{ln}_{i+1}" with ln = 4 - H//16, unet_2d_blocks.py:380-381;
+"up_{ln}_{i+1}" with ln = H//16 clamped, :600-601; "mid", :291). That scheme
+collides below 64x64 latents. Here keys derive from the *block index*
+instead — resolution-independent and collision-free — which reproduces the
+reference names exactly at the 512px operating point (down_1..3_{1,2}, mid,
+up_1..3_{1,2,3}).
 """
 from __future__ import annotations
 
@@ -33,20 +31,19 @@ Dtype = Any
 Context = Dict[str, jax.Array]
 
 
-def down_block_key(height: int, layer_idx: int) -> str:
-    ln = max(4 - height // 16, 1)
-    return f"down_{ln}_{layer_idx + 1}"
+def down_block_key(block_idx: int, layer_idx: int) -> str:
+    return f"down_{block_idx + 1}_{layer_idx + 1}"
 
 
-def up_block_key(height: int, layer_idx: int) -> str:
-    ln = min(height // 16, 3)
-    return f"up_{ln}_{layer_idx + 1}"
+def up_block_key(block_idx: int, layer_idx: int) -> str:
+    return f"up_{block_idx}_{layer_idx + 1}"
 
 
 class CrossAttnDownBlock2D(nn.Module):
     """[Resnet -> Transformer2D] x layers -> Downsample
     (unet_2d_blocks.py:300-436)."""
     out_channels: int
+    block_idx: int = 0
     num_layers: int = 2
     num_heads: int = 8
     cross_attention_dim: int = 768
@@ -62,7 +59,6 @@ class CrossAttnDownBlock2D(nn.Module):
                  encoder_hidden_states: jax.Array,
                  image_context: Optional[Context] = None,
                  ) -> Tuple[jax.Array, Tuple[jax.Array, ...], Context]:
-        height = hidden_states.shape[1]
         collected: Context = {}
         output_states = ()
         for i in range(self.num_layers):
@@ -70,7 +66,7 @@ class CrossAttnDownBlock2D(nn.Module):
                 self.out_channels, groups=self.resnet_groups,
                 eps=self.resnet_eps, dtype=self.dtype,
                 name=f"resnets_{i}")(hidden_states, temb)
-            key = down_block_key(height, i)
+            key = down_block_key(self.block_idx, i)
             img_ctx = None if image_context is None else image_context[key]
             hidden_states, tap = Transformer2DModel(
                 self.num_heads, self.out_channels // self.num_heads,
@@ -156,6 +152,7 @@ class CrossAttnUpBlock2D(nn.Module):
     """[concat-skip -> Resnet -> Transformer2D] x layers -> Upsample
     (unet_2d_blocks.py:518-660)."""
     out_channels: int
+    block_idx: int = 1
     num_layers: int = 3
     num_heads: int = 8
     cross_attention_dim: int = 768
@@ -171,7 +168,6 @@ class CrossAttnUpBlock2D(nn.Module):
                  temb: jax.Array, encoder_hidden_states: jax.Array,
                  image_context: Optional[Context] = None,
                  ) -> Tuple[jax.Array, Context]:
-        height = hidden_states.shape[1]
         collected: Context = {}
         for i in range(self.num_layers):
             res = res_hidden_states_tuple[-(i + 1)]
@@ -180,7 +176,7 @@ class CrossAttnUpBlock2D(nn.Module):
                 self.out_channels, groups=self.resnet_groups,
                 eps=self.resnet_eps, dtype=self.dtype,
                 name=f"resnets_{i}")(hidden_states, temb)
-            key = up_block_key(height, i)
+            key = up_block_key(self.block_idx, i)
             img_ctx = None if image_context is None else image_context[key]
             hidden_states, tap = Transformer2DModel(
                 self.num_heads, self.out_channels // self.num_heads,

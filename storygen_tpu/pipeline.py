@@ -1,0 +1,315 @@
+"""StoryGen inference engine: autoregressive visual storytelling on TPU.
+
+Capability parity with model/pipeline.py's StableDiffusionPipeline.__call__
+(:273-484): three stages ('no' plain text2img, 'multi-image-condition',
+'auto-regressive'), three-way classifier-free guidance (:448-458), per-step
+reference-cycle UNet passes collecting VLCM features (:417-443), DDIM
+updates (:461), and VAE decode (:472).
+
+TPU-first re-design (not a port):
+- The whole denoising loop is ONE jitted function: `lax.fori_loop` over
+  DDIM steps with static shapes; timestep tables are precomputed arrays.
+- The reference runs one UNet forward PER REFERENCE FRAME per step
+  (pipeline.py:418-438, serially). Here all reference frames run as a
+  single batched UNet call of batch 3B*N — the MXU sees one large matmul
+  stream instead of N small ones.
+- Stage 'no' runs a 2-row CFG batch ([uncond, cond]) instead of the
+  reference's degenerate 3-row batch — identical output (rows 0 and 1 are
+  equal without image conditioning), 1/3 less compute.
+- RNG is explicit jax.random keys; fp32 CFG/scheduler math around a
+  bf16-able UNet.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from storygen_tpu.configs import PipelineConfig, SchedulerConfig
+from storygen_tpu.diffusion import schedule as S
+
+Params = Any
+
+STAGES = ("no", "multi-image-condition", "auto-regressive")
+
+
+def _ref_timesteps(stage: str, ref_t: jax.Array, num_refs: int) -> jax.Array:
+    """Noise level per reference frame: 'auto-regressive' decays older
+    frames harder (ref_t*(N-i), pipeline.py:420), 'multi-image-condition'
+    noises all refs equally (:423)."""
+    if stage == "auto-regressive":
+        factors = jnp.arange(num_refs, 0, -1, dtype=ref_t.dtype)  # N..1
+        return ref_t * factors
+    return jnp.broadcast_to(ref_t, (num_refs,))
+
+
+class StoryGenSampler:
+    """Pure-function sampler core. Host-side orchestration (tokenizer, PIL)
+    lives in StoryGenPipeline below."""
+
+    def __init__(self, unet, vae, sched_cfg: SchedulerConfig = SchedulerConfig()):
+        self.unet = unet
+        self.vae = vae
+        self.sched_cfg = sched_cfg
+        self.schedule = S.make_schedule(sched_cfg)
+
+    # ---------------------------------------------------------------- refs
+    def encode_ref_latents(self, vae_params, images: jax.Array,
+                           rng: jax.Array) -> jax.Array:
+        """VAE-encode reference frames: (N, B, H, W, 3) -> (N, B, h, w, 4),
+        scaled by 0.18215 (pipeline.py:399-404)."""
+        n, b = images.shape[:2]
+        flat = images.reshape((n * b,) + images.shape[2:])
+        dist = self.vae.apply(vae_params, flat, method=self.vae.encode)
+        z = dist.sample(rng) * self.vae.config.scaling_factor
+        return z.reshape((n, b) + z.shape[1:])
+
+    # ---------------------------------------------------------------- loop
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("stage", "num_inference_steps"))
+    def sample(self, params: Dict[str, Params], latents: jax.Array,
+               text_emb_uncond: jax.Array, text_emb_cond: jax.Array,
+               ref_latents: Optional[jax.Array],
+               zero_latents: Optional[jax.Array],
+               prev_text_uncond: Optional[jax.Array],
+               prev_text_cond: Optional[jax.Array],
+               noise: jax.Array,
+               guidance_scale: jax.Array, image_guidance_scale: jax.Array,
+               *, stage: str, num_inference_steps: int) -> jax.Array:
+        """Run the full DDIM denoising loop inside one jit.
+
+        Args:
+          params: {"unet": ..., "vae": ...} flax variables.
+          latents: (B, h, w, 4) initial N(0,1) latents.
+          text_emb_{uncond,cond}: (B, 77, 768) CLIP features of the target
+            prompt and the empty prompt.
+          ref_latents: (N, B, h, w, 4) VAE-encoded reference frames
+            (scaled), or None for stage 'no'.
+          zero_latents: (B, h, w, 4) VAE encoding of the zero image
+            (pipeline.py:391-394), or None.
+          prev_text_{uncond,cond}: (N, B, 77, 768) per-ref caption features.
+          noise: (B, h, w, 4) the single noise draw reused for ref noising
+            across steps (pipeline.py:409).
+          guidance_scale / image_guidance_scale: scalars (traced).
+        Returns final latents (B, h, w, 4).
+        """
+        sched = self.schedule
+        ts = S.ddim_timesteps(self.sched_cfg, num_inference_steps)
+        ratio = self.sched_cfg.num_train_timesteps // num_inference_steps
+        t_arr = jnp.asarray(ts, dtype=jnp.int32)
+        prev_arr = jnp.concatenate(
+            [t_arr[1:], jnp.asarray([ts[-1] - ratio], jnp.int32)])
+
+        b = latents.shape[0]
+        use_refs = stage in ("multi-image-condition", "auto-regressive")
+
+        if use_refs:
+            num_refs = ref_latents.shape[0]
+            # main-pass text: [uncond, uncond, cond] (pipeline.py:448)
+            text3 = jnp.concatenate(
+                [text_emb_uncond, text_emb_uncond, text_emb_cond], axis=0)
+            # ref-pass text per ref: [uncond, cond, cond] (pipeline.py:430)
+            prev3 = jnp.concatenate(
+                [prev_text_uncond, prev_text_cond, prev_text_cond], axis=1
+            )  # (N, 3B, 77, 768)
+            prev3_flat = prev3.reshape((num_refs * 3 * b,) + prev3.shape[2:])
+        else:
+            text2 = jnp.concatenate([text_emb_uncond, text_emb_cond], axis=0)
+
+        def unet_apply(sample, t, text, ctx=None):
+            out, collected = self.unet.apply(params["unet"], sample, t, text,
+                                             ctx)
+            return out, collected
+
+        def body(i, latents):
+            t = t_arr[i]
+            prev_t = prev_arr[i]
+
+            if use_refs:
+                ref_t = t // 10  # pipeline.py:414 (t/10 as integer)
+                ref_ts = _ref_timesteps(stage, ref_t, num_refs)  # (N,)
+                # noise refs and zero-refs at their levels (one shared draw)
+                noisy_refs = S.add_noise(sched, ref_latents,
+                                         noise[None], ref_ts)
+                noisy_zero = S.add_noise(sched,
+                                         jnp.broadcast_to(
+                                             zero_latents[None],
+                                             ref_latents.shape),
+                                         noise[None], ref_ts)
+                # CFG triple per ref: [zero, ref, ref] (pipeline.py:429)
+                trip = jnp.concatenate([noisy_zero, noisy_refs, noisy_refs],
+                                       axis=1)  # (N, 3B, h, w, 4)
+                trip_flat = trip.reshape((num_refs * 3 * b,)
+                                         + trip.shape[2:])
+                t_flat = jnp.repeat(ref_ts, 3 * b)
+                # ONE batched reference pass for all refs (vs the
+                # reference's serial per-ref forwards)
+                _, ctx = unet_apply(trip_flat, t_flat, prev3_flat)
+                # (N*3B, S, C) -> (3B, N*S, C): concat refs on seq dim
+                # (pipeline.py:440-443)
+                ctx = {
+                    k: v.reshape((num_refs, 3 * b) + v.shape[1:])
+                        .transpose(1, 0, 2, 3)
+                        .reshape((3 * b, num_refs * v.shape[1], v.shape[2]))
+                    for k, v in ctx.items()
+                }
+                lat_in = jnp.concatenate([latents] * 3, axis=0)
+                eps3, _ = unet_apply(lat_in, t, text3, ctx)
+                eps_uncond, eps_img, eps_all = jnp.split(eps3, 3, axis=0)
+                # 3-way CFG (pipeline.py:456-458)
+                eps = (eps_uncond
+                       + image_guidance_scale * (eps_img - eps_uncond)
+                       + guidance_scale * (eps_all - eps_img))
+            else:
+                lat_in = jnp.concatenate([latents] * 2, axis=0)
+                eps2, _ = unet_apply(lat_in, t, text2)
+                eps_uncond, eps_cond = jnp.split(eps2, 2, axis=0)
+                eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+            return S.ddim_step(sched, eps.astype(jnp.float32), t, prev_t,
+                               latents)
+
+        return jax.lax.fori_loop(0, num_inference_steps, body, latents)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def decode(self, vae_params, latents: jax.Array) -> jax.Array:
+        """Latents -> images in [0,1] (pipeline.py:198-205)."""
+        img = self.vae.apply(vae_params,
+                             latents / self.vae.config.scaling_factor,
+                             method=self.vae.decode)
+        return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+
+class StoryGenPipeline:
+    """End-to-end host-facing pipeline (tokenize -> sample -> decode).
+
+    Mirrors the reference pipeline's __call__ signature semantics
+    (model/pipeline.py:273-294): stage, prompt, image_prompt (reference
+    frames), prev_prompt (their captions), guidance scales, steps.
+    """
+
+    def __init__(self, unet, unet_params, vae, vae_params, text_encoder,
+                 text_params, tokenizer,
+                 sched_cfg: SchedulerConfig = SchedulerConfig()):
+        self.sampler = StoryGenSampler(unet, vae, sched_cfg)
+        self.params = {"unet": unet_params, "vae": vae_params}
+        self.vae = vae
+        self.vae_params = vae_params
+        self.text_encoder = text_encoder
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+        self._encode_text = jax.jit(
+            lambda ids: text_encoder.apply(text_params, ids))
+
+    def tokenize(self, prompts: Sequence[str]) -> jax.Array:
+        out = self.tokenizer(list(prompts), padding="max_length",
+                             max_length=77, truncation=True,
+                             return_tensors="np")
+        return jnp.asarray(out["input_ids"], dtype=jnp.int32)
+
+    def encode_prompt(self, prompts: Sequence[str]) -> jax.Array:
+        """(B,) strings -> (B, 77, 768), reference _encode_prompt
+        conditional half (pipeline.py:108-138)."""
+        return self._encode_text(self.tokenize(prompts))
+
+    def __call__(self, stage: str, prompt: Sequence[str],
+                 image_prompt: Optional[np.ndarray] = None,
+                 prev_prompt: Optional[Sequence[Sequence[str]]] = None,
+                 height: int = 512, width: int = 512,
+                 num_inference_steps: int = 50,
+                 guidance_scale: float = 7.5,
+                 image_guidance_scale: float = 3.5,
+                 negative_prompt: Optional[Sequence[str]] = None,
+                 rng: Optional[jax.Array] = None,
+                 latents: Optional[jax.Array] = None) -> np.ndarray:
+        """Generate images.
+
+        Args:
+          stage: 'no' | 'multi-image-condition' | 'auto-regressive'.
+          prompt: B target captions.
+          image_prompt: (N, B, H, W, 3) reference frames in [-1, 1]
+            (NHWC; the reference uses (B, N, 3, H, W) NCHW).
+          prev_prompt: N lists of B captions for the reference frames.
+        Returns (B, H, W, 3) float images in [0, 1].
+        """
+        if stage not in STAGES:
+            raise ValueError(f"stage must be one of {STAGES}")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        b = len(prompt)
+        h_lat, w_lat = height // 8, width // 8
+
+        k_lat, k_ref, k_zero, k_noise = jax.random.split(rng, 4)
+        if latents is None:
+            latents = jax.random.normal(k_lat, (b, h_lat, w_lat, 4),
+                                        jnp.float32)
+        latents = latents * self.sampler.schedule.init_noise_sigma
+
+        uncond = [""] * b if negative_prompt is None else list(negative_prompt)
+        text_cond = self.encode_prompt(prompt)
+        text_uncond = self.encode_prompt(uncond)
+
+        use_refs = stage in ("multi-image-condition", "auto-regressive")
+        ref_latents = zero_latents = prev_u = prev_c = None
+        if use_refs:
+            if image_prompt is None or prev_prompt is None:
+                raise ValueError(f"stage {stage} needs image_prompt and "
+                                 "prev_prompt")
+            imgs = jnp.asarray(image_prompt, dtype=jnp.float32)
+            ref_latents = self.sampler.encode_ref_latents(
+                self.params["vae"], imgs, k_ref)
+            zero_img = jnp.zeros((b, height, width, 3), jnp.float32)
+            zdist = self.vae.apply(self.vae_params, zero_img,
+                                   method=self.vae.encode)
+            zero_latents = (zdist.sample(k_zero)
+                            * self.vae.config.scaling_factor)
+            prev_c = jnp.stack([self.encode_prompt(p) for p in prev_prompt])
+            prev_u = jnp.stack([self.encode_prompt([""] * b)
+                                for _ in prev_prompt])
+
+        noise = jax.random.normal(k_noise, (b, h_lat, w_lat, 4), jnp.float32)
+
+        final = self.sampler.sample(
+            self.params, latents, text_uncond, text_cond, ref_latents,
+            zero_latents, prev_u, prev_c, noise,
+            jnp.asarray(guidance_scale, jnp.float32),
+            jnp.asarray(image_guidance_scale, jnp.float32),
+            stage=stage, num_inference_steps=num_inference_steps)
+
+        images = self.sampler.decode(self.params["vae"], final)
+        return np.asarray(images)
+
+    def generate_story(self, prompts: Sequence[str],
+                       first_frame: Optional[np.ndarray] = None,
+                       first_caption: Optional[str] = None,
+                       max_refs: int = 3, **kw) -> List[np.ndarray]:
+        """Autoregressive story rollout: generate frame k conditioned on up
+        to `max_refs` previous frames and their captions (the paper's usage
+        of stage='auto-regressive'; the reference leaves this loop to the
+        caller, inference.py:103-115).
+
+        Args:
+          prompts: one caption per story frame to generate.
+          first_frame: optional (H, W, 3) conditioning image in [0, 1]
+            (e.g. a ground-truth opening frame) with `first_caption`.
+        Returns the generated frames, each (H, W, 3) in [0, 1].
+        """
+        history: List[Tuple[np.ndarray, str]] = []
+        if first_frame is not None:
+            history.append((np.asarray(first_frame),
+                            first_caption or prompts[0]))
+        frames: List[np.ndarray] = []
+        for prompt in prompts:
+            if not history:
+                img = self(stage="no", prompt=[prompt], **kw)
+            else:
+                hist = history[-max_refs:]
+                refs = np.stack([f * 2.0 - 1.0 for f, _ in hist])[:, None]
+                img = self(stage="auto-regressive", prompt=[prompt],
+                           image_prompt=refs,
+                           prev_prompt=[[c] for _, c in hist], **kw)
+            frames.append(img[0])
+            history.append((img[0], prompt))
+        return frames

@@ -1,0 +1,134 @@
+"""End-to-end sampler tests on tiny models (SURVEY.md §4 layer (c)).
+
+Exercises all three stages through the jitted DDIM loop, checks shapes,
+determinism, and CFG semantics (stage 'no' == 3-way CFG degenerate case,
+pipeline.py:456-458 of the reference).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from storygen_tpu.configs import SchedulerConfig, UNetConfig, VAEConfig
+from storygen_tpu.models.unet import UNet2DConditionModel
+from storygen_tpu.models.vae import AutoencoderKL
+from storygen_tpu.pipeline import StoryGenSampler
+
+UNET_SMALL = UNetConfig(block_out_channels=(16, 32, 32, 32),
+                        attention_head_dim=4, norm_num_groups=4,
+                        cross_attention_dim=24)
+VAE_SMALL = VAEConfig(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                      norm_num_groups=2, latent_channels=4)
+LAT = 8  # 64px images -> 8x8 latents
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(config=UNET_SMALL)
+    unet_params = jax.jit(unet.init)(
+        rng, jnp.zeros((1, LAT, LAT, 4)), jnp.asarray([0]),
+        jnp.zeros((1, 7, 24)))
+    vae = AutoencoderKL(config=VAE_SMALL)
+    vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
+    sampler = StoryGenSampler(unet, vae)
+    params = {"unet": unet_params, "vae": vae_params}
+    return sampler, params
+
+
+def _text(b, key=0):
+    return jnp.asarray(np.random.RandomState(key).randn(b, 7, 24),
+                       dtype=jnp.float32)
+
+
+def test_stage_no(setup):
+    sampler, params = setup
+    b = 2
+    lat = jax.random.normal(jax.random.PRNGKey(1), (b, LAT, LAT, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (b, LAT, LAT, 4))
+    out = sampler.sample(params, lat, _text(b, 1), _text(b, 2), None, None,
+                         None, None, noise, jnp.asarray(7.5),
+                         jnp.asarray(3.5), stage="no",
+                         num_inference_steps=4)
+    assert out.shape == (b, LAT, LAT, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic
+    out2 = sampler.sample(params, lat, _text(b, 1), _text(b, 2), None, None,
+                          None, None, noise, jnp.asarray(7.5),
+                          jnp.asarray(3.5), stage="no",
+                          num_inference_steps=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+@pytest.mark.parametrize("stage", ["multi-image-condition",
+                                   "auto-regressive"])
+def test_stages_with_refs(setup, stage):
+    sampler, params = setup
+    b, n = 1, 3
+    rngs = jax.random.split(jax.random.PRNGKey(3), 4)
+    lat = jax.random.normal(rngs[0], (b, LAT, LAT, 4))
+    refs = jax.random.normal(rngs[1], (n, b, LAT, LAT, 4)) * 0.2
+    zero = jax.random.normal(rngs[2], (b, LAT, LAT, 4)) * 0.01
+    noise = jax.random.normal(rngs[3], (b, LAT, LAT, 4))
+    prev_u = jnp.stack([_text(b, 10 + i) for i in range(n)])
+    prev_c = jnp.stack([_text(b, 20 + i) for i in range(n)])
+    out = sampler.sample(params, lat, _text(b, 1), _text(b, 2), refs, zero,
+                         prev_u, prev_c, noise, jnp.asarray(7.0),
+                         jnp.asarray(3.5), stage=stage,
+                         num_inference_steps=4)
+    assert out.shape == (b, LAT, LAT, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ref_conditioning_changes_output(setup):
+    """Different reference frames must change the generated latents."""
+    sampler, params = setup
+    b, n = 1, 2
+    rngs = jax.random.split(jax.random.PRNGKey(4), 4)
+    lat = jax.random.normal(rngs[0], (b, LAT, LAT, 4))
+    zero = jnp.zeros((b, LAT, LAT, 4))
+    noise = jax.random.normal(rngs[3], (b, LAT, LAT, 4))
+    prev_u = jnp.stack([_text(b, 10 + i) for i in range(n)])
+    prev_c = jnp.stack([_text(b, 20 + i) for i in range(n)])
+
+    def run(ref_seed):
+        refs = jax.random.normal(jax.random.PRNGKey(ref_seed),
+                                 (n, b, LAT, LAT, 4)) * 0.3
+        return sampler.sample(params, lat, _text(b, 1), _text(b, 2), refs,
+                              zero, prev_u, prev_c, noise, jnp.asarray(7.0),
+                              jnp.asarray(3.5), stage="auto-regressive",
+                              num_inference_steps=3)
+
+    assert not np.allclose(np.asarray(run(100)), np.asarray(run(200)))
+
+
+def test_guidance_scale_has_effect(setup):
+    sampler, params = setup
+    b = 1
+    lat = jax.random.normal(jax.random.PRNGKey(5), (b, LAT, LAT, 4))
+    noise = jnp.zeros((b, LAT, LAT, 4))
+    kw = dict(stage="no", num_inference_steps=3)
+    o1 = sampler.sample(params, lat, _text(b, 1), _text(b, 2), None, None,
+                        None, None, noise, jnp.asarray(1.0),
+                        jnp.asarray(3.5), **kw)
+    o2 = sampler.sample(params, lat, _text(b, 1), _text(b, 2), None, None,
+                        None, None, noise, jnp.asarray(9.0),
+                        jnp.asarray(3.5), **kw)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_decode_range(setup):
+    sampler, params = setup
+    lat = jax.random.normal(jax.random.PRNGKey(6), (1, LAT, LAT, 4))
+    img = sampler.decode(params["vae"], lat)
+    assert img.shape == (1, 64, 64, 3)
+    a = np.asarray(img)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+
+
+def test_encode_ref_latents_shape(setup):
+    sampler, params = setup
+    imgs = jnp.zeros((3, 2, 64, 64, 3))
+    z = sampler.encode_ref_latents(params["vae"], imgs,
+                                   jax.random.PRNGKey(7))
+    assert z.shape == (3, 2, LAT, LAT, 4)
