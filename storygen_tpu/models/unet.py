@@ -69,6 +69,7 @@ class UNet2DConditionModel(nn.Module):
     def __call__(self, sample: jax.Array, timesteps: jax.Array,
                  encoder_hidden_states: jax.Array,
                  image_context: Optional[Context] = None,
+                 ref_mask: Optional[jax.Array] = None,
                  ) -> Tuple[jax.Array, Context]:
         """Args:
           sample: (B, H, W, 4) noisy latents, NHWC.
@@ -76,6 +77,10 @@ class UNet2DConditionModel(nn.Module):
           encoder_hidden_states: (B, 77, 768) CLIP text features.
           image_context: None (reference cycle: collect) or dict of
             (B, S_layer * n_refs, C_layer) (image cycle: consume).
+          ref_mask: optional (B, n_refs) booleans selecting which reference
+            frames attn3 may attend to (static-shape equivalent of the
+            reference's random 1-3 ref training,
+            train_StorySalon_stage2.py:306-318).
         Returns (eps_prediction (B, H, W, 4), collected context dict).
         """
         cfg = self.config
@@ -127,7 +132,7 @@ class UNet2DConditionModel(nn.Module):
                     dtype=self.dtype, attn_backend=self.attn_backend,
                     name=f"down_blocks_{i}")
                 sample, res, taps = blk(sample, temb, encoder_hidden_states,
-                                        image_context)
+                                        image_context, ref_mask)
                 collected.update(taps)
             elif block_type == "DownBlock2D":
                 blk = maybe_remat(B.DownBlock2D)(
@@ -150,7 +155,7 @@ class UNet2DConditionModel(nn.Module):
                 resnet_groups=cfg.norm_num_groups, resnet_eps=cfg.norm_eps,
                 dtype=self.dtype, attn_backend=self.attn_backend,
                 name="mid_block")(sample, temb, encoder_hidden_states,
-                                  image_context)
+                                  image_context, ref_mask)
             collected.update(taps)
 
         # 5. up
@@ -172,7 +177,7 @@ class UNet2DConditionModel(nn.Module):
                     dtype=self.dtype, attn_backend=self.attn_backend,
                     name=f"up_blocks_{i}")
                 sample, taps = blk(sample, res, temb, encoder_hidden_states,
-                                   image_context)
+                                   image_context, ref_mask)
                 collected.update(taps)
             elif block_type == "UpBlock2D":
                 sample = maybe_remat(B.UpBlock2D)(

@@ -31,6 +31,16 @@ Dtype = Any
 Context = Dict[str, jax.Array]
 
 
+def expand_ref_mask(ref_mask: Optional[jax.Array],
+                    ctx: Optional[jax.Array]) -> Optional[jax.Array]:
+    """(B, N) per-ref flags -> (B, N*S) kv mask for a context of seq N*S."""
+    if ref_mask is None or ctx is None:
+        return None
+    n = ref_mask.shape[1]
+    s = ctx.shape[1] // n
+    return jnp.repeat(ref_mask, s, axis=1)
+
+
 def down_block_key(block_idx: int, layer_idx: int) -> str:
     return f"down_{block_idx + 1}_{layer_idx + 1}"
 
@@ -58,6 +68,7 @@ class CrossAttnDownBlock2D(nn.Module):
     def __call__(self, hidden_states: jax.Array, temb: jax.Array,
                  encoder_hidden_states: jax.Array,
                  image_context: Optional[Context] = None,
+                 ref_mask: Optional[jax.Array] = None,
                  ) -> Tuple[jax.Array, Tuple[jax.Array, ...], Context]:
         collected: Context = {}
         output_states = ()
@@ -75,7 +86,8 @@ class CrossAttnDownBlock2D(nn.Module):
                 norm_num_groups=self.resnet_groups, dtype=self.dtype,
                 attn_backend=self.attn_backend,
                 name=f"attentions_{i}")(hidden_states, encoder_hidden_states,
-                                        img_ctx)
+                                        img_ctx,
+                                        expand_ref_mask(ref_mask, img_ctx))
             if image_context is None:
                 collected[key] = tap
             output_states += (hidden_states,)
@@ -129,6 +141,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     def __call__(self, hidden_states: jax.Array, temb: jax.Array,
                  encoder_hidden_states: jax.Array,
                  image_context: Optional[Context] = None,
+                 ref_mask: Optional[jax.Array] = None,
                  ) -> Tuple[jax.Array, Context]:
         hidden_states = ResnetBlock2D(
             self.in_channels, groups=self.resnet_groups, eps=self.resnet_eps,
@@ -140,7 +153,8 @@ class UNetMidBlock2DCrossAttn(nn.Module):
             cross_attention_dim=self.cross_attention_dim,
             norm_num_groups=self.resnet_groups, dtype=self.dtype,
             attn_backend=self.attn_backend,
-            name="attentions_0")(hidden_states, encoder_hidden_states, img_ctx)
+            name="attentions_0")(hidden_states, encoder_hidden_states, img_ctx,
+                                 expand_ref_mask(ref_mask, img_ctx))
         hidden_states = ResnetBlock2D(
             self.in_channels, groups=self.resnet_groups, eps=self.resnet_eps,
             dtype=self.dtype, name="resnets_1")(hidden_states, temb)
@@ -167,6 +181,7 @@ class CrossAttnUpBlock2D(nn.Module):
                  res_hidden_states_tuple: Tuple[jax.Array, ...],
                  temb: jax.Array, encoder_hidden_states: jax.Array,
                  image_context: Optional[Context] = None,
+                 ref_mask: Optional[jax.Array] = None,
                  ) -> Tuple[jax.Array, Context]:
         collected: Context = {}
         for i in range(self.num_layers):
@@ -185,7 +200,8 @@ class CrossAttnUpBlock2D(nn.Module):
                 norm_num_groups=self.resnet_groups, dtype=self.dtype,
                 attn_backend=self.attn_backend,
                 name=f"attentions_{i}")(hidden_states, encoder_hidden_states,
-                                        img_ctx)
+                                        img_ctx,
+                                        expand_ref_mask(ref_mask, img_ctx))
             if image_context is None:
                 collected[key] = tap
         if self.add_upsample:

@@ -1,0 +1,79 @@
+"""Optimizer construction and trainable-subset partitioning.
+
+Replaces the reference's requires_grad_(False) freezing + AdamW8bit
+(train_StorySalon_stage2.py:168-205) with the functional equivalent:
+the parameter pytree is split into (trainable, frozen); the optimizer and
+grads only ever see the trainable subtree. That is both the optax-idiomatic
+form of freezing and a memory win (no optimizer state for frozen params —
+the same motivation as the reference's 8-bit Adam on 16 GB GPUs).
+
+Gradient accumulation = optax.MultiSteps (reference: accelerate ga=8-10);
+global-norm clipping matches accelerator.clip_grad_norm_ (max_grad_norm 1.0).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import optax
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from storygen_tpu.configs import TrainConfig
+
+Params = Any
+
+# Trainable-subset predicates per training stage:
+# stage1 finetunes self-attention only (train_StorySalon_stage1.py:175-179),
+# stage2/COCO finetune the VLCM image-cross-attention only
+# (train_StorySalon_stage2.py:173-177, train_COCO.py).
+STAGE_PREDICATES = {
+    "stage1": lambda path: "attn1" in path,
+    "stage2": lambda path: "attn3" in path,
+    "coco": lambda path: "attn3" in path,
+    "full": lambda path: True,
+}
+
+
+def partition_params(params: Params,
+                     predicate: Callable[[Tuple[str, ...]], bool]
+                     ) -> Tuple[Params, Params]:
+    """Split a params pytree into (trainable, frozen) by path predicate."""
+    flat = flatten_dict(params["params"])
+    train = {k: v for k, v in flat.items() if predicate(k)}
+    frozen = {k: v for k, v in flat.items() if not predicate(k)}
+    return ({"params": unflatten_dict(train)},
+            {"params": unflatten_dict(frozen)})
+
+
+def merge_params(trainable: Params, frozen: Params) -> Params:
+    flat = dict(flatten_dict(frozen["params"]))
+    flat.update(flatten_dict(trainable["params"]))
+    return {"params": unflatten_dict(flat)}
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """clip-by-global-norm -> AdamW -> grad accumulation."""
+    lr = cfg.learning_rate
+    if cfg.scale_lr:
+        lr = lr * cfg.gradient_accumulation_steps * cfg.train_batch_size
+    if cfg.lr_scheduler == "constant":
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, max(cfg.lr_warmup_steps, 1)),
+             optax.constant_schedule(lr)],
+            [max(cfg.lr_warmup_steps, 1)]) if cfg.lr_warmup_steps else lr
+    elif cfg.lr_scheduler == "linear":
+        schedule = optax.linear_schedule(lr, 0.0, cfg.train_steps)
+    elif cfg.lr_scheduler == "cosine":
+        schedule = optax.cosine_decay_schedule(lr, cfg.train_steps)
+    else:
+        raise ValueError(cfg.lr_scheduler)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                    eps=cfg.adam_epsilon,
+                    weight_decay=cfg.adam_weight_decay),
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=cfg.gradient_accumulation_steps)
+    return tx

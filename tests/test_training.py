@@ -1,0 +1,168 @@
+"""Training-step tests: gradient flow, freezing, masking, multi-device DP.
+
+SURVEY.md §4 layer (d): the 8-virtual-CPU-device mesh stands in for a
+v5e-8; the same pjit path runs on real chips.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from storygen_tpu.configs import SchedulerConfig, TrainConfig, UNetConfig, VAEConfig, CLIPTextConfig
+from storygen_tpu.diffusion import schedule as S
+from storygen_tpu.models.clip_text import CLIPTextModel
+from storygen_tpu.models.unet import UNet2DConditionModel
+from storygen_tpu.models.vae import AutoencoderKL
+from storygen_tpu.parallel import mesh as M
+from storygen_tpu.training import optim, steps
+from storygen_tpu.training.losses import downsample_mask, masked_mse
+
+UNET_SMALL = UNetConfig(block_out_channels=(16, 32, 32, 32),
+                        attention_head_dim=4, norm_num_groups=4,
+                        cross_attention_dim=16)
+VAE_SMALL = VAEConfig(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                      norm_num_groups=2, latent_channels=4)
+CLIP_SMALL = CLIPTextConfig(vocab_size=64, hidden_size=16,
+                            intermediate_size=32, num_hidden_layers=1,
+                            num_attention_heads=2,
+                            max_position_embeddings=8)
+IMG = 64  # 8x8 latents
+
+
+@pytest.fixture(scope="module")
+def models():
+    rng = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(config=UNET_SMALL)
+    unet_params = jax.jit(unet.init)(
+        rng, jnp.zeros((1, 8, 8, 4)), jnp.asarray([0]),
+        jnp.zeros((1, 8, 16)))
+    vae = AutoencoderKL(config=VAE_SMALL)
+    vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, IMG, IMG, 3)), rng)
+    clip = CLIPTextModel(config=CLIP_SMALL)
+    clip_params = jax.jit(clip.init)(rng, jnp.zeros((1, 8), jnp.int32))
+    return unet, unet_params, vae, vae_params, clip, clip_params
+
+
+def _batch(b, n=3, with_refs=True, seed=0):
+    rng = np.random.RandomState(seed)
+    batch = {
+        "image": jnp.asarray(rng.randn(b, IMG, IMG, 3) * 0.2,
+                             dtype=jnp.float32),
+        "mask": jnp.asarray((rng.rand(b, IMG, IMG, 1) > 0.8),
+                            dtype=jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(0, 64, (b, 8)), jnp.int32),
+    }
+    if with_refs:
+        batch["ref_images"] = jnp.asarray(rng.randn(n, b, IMG, IMG, 3) * 0.2,
+                                          dtype=jnp.float32)
+        batch["ref_input_ids"] = jnp.asarray(rng.randint(0, 64, (n, b, 8)),
+                                             jnp.int32)
+    return batch
+
+
+def _setup_stage(models, stage):
+    unet, unet_params, vae, vae_params, clip, clip_params = models
+    cfg = TrainConfig(gradient_accumulation_steps=1, learning_rate=1e-3)
+    tx = optim.make_optimizer(cfg)
+    trainable, frozen_unet = optim.partition_params(
+        unet_params, optim.STAGE_PREDICATES[stage])
+    sched = S.make_schedule(SchedulerConfig())
+    maker = {"stage1": steps.make_stage1_step,
+             "stage2": steps.make_stage2_step,
+             "coco": steps.make_coco_step}[stage]
+    step = maker(unet, vae, clip, sched, tx)
+    state = steps.init_train_state(trainable, tx)
+    frozen = steps.FrozenBundle(unet_frozen=frozen_unet, vae=vae_params,
+                                text=clip_params)
+    return step, state, frozen
+
+
+def test_partition_stage2_selects_attn3(models):
+    _, unet_params, *_ = models
+    trainable, frozen = optim.partition_params(
+        unet_params, optim.STAGE_PREDICATES["stage2"])
+    from flax.traverse_util import flatten_dict
+    t_keys = list(flatten_dict(trainable["params"]).keys())
+    assert t_keys and all("attn3" in k for k in t_keys)
+    assert not any("attn3" in k for k in
+                   flatten_dict(frozen["params"]).keys())
+    # merge restores everything
+    merged = optim.merge_params(trainable, frozen)
+    orig = flatten_dict(unet_params["params"])
+    assert set(flatten_dict(merged["params"]).keys()) == set(orig.keys())
+
+
+@pytest.mark.parametrize("stage", ["stage1", "stage2", "coco"])
+def test_step_runs_and_updates_only_trainable(models, stage):
+    step, state, frozen = _setup_stage(models, stage)
+    batch = _batch(2, with_refs=(stage != "stage1"))
+    jstep = jax.jit(step)
+    new_state, metrics = jstep(state, frozen, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    # trainable changed
+    diff = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        state.trainable, new_state.trainable)
+    assert max(jax.tree.leaves(diff)) > 0
+    assert int(new_state.step) == 1
+
+
+def test_masked_mse_ignores_masked_regions():
+    pred = jnp.ones((1, 8, 8, 4))
+    target = jnp.zeros((1, 8, 8, 4))
+    full_mask = jnp.ones((1, 8, 8, 1))
+    assert float(masked_mse(pred, target, full_mask)) == 0.0
+    no_mask = jnp.zeros((1, 8, 8, 1))
+    assert float(masked_mse(pred, target, no_mask)) == 1.0
+
+
+def test_downsample_mask_matches_torch_bilinear():
+    import torch
+    import torch.nn.functional as F
+    rng = np.random.RandomState(0)
+    m = rng.rand(1, 64, 64, 1).astype(np.float32)
+    ours = downsample_mask(jnp.asarray(m), 8)
+    theirs = F.interpolate(torch.from_numpy(m).permute(0, 3, 1, 2),
+                           scale_factor=1 / 8., mode="bilinear",
+                           align_corners=False).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_ref_mask_distribution():
+    rng = jax.random.PRNGKey(0)
+    mask = steps._sample_ref_mask(rng, 4096, 3)
+    m = np.asarray(mask)
+    # newest ref (last index) always on (reference always keeps i=2)
+    assert m[:, 2].all()
+    counts = m.sum(axis=1)
+    frac3 = (counts == 3).mean()
+    frac1 = (counts == 1).mean()
+    assert 0.25 < frac3 < 0.35  # p=0.3
+    assert 0.35 < frac1 < 0.45  # p=0.4
+
+
+def test_data_parallel_8_devices(models):
+    """Same step under pjit over the 8-device CPU mesh: loss matches the
+    single-device run (batch mean is device-count invariant)."""
+    stage = "stage2"
+    step, state, frozen = _setup_stage(models, stage)
+    batch = _batch(8, with_refs=True, seed=3)
+
+    single = jax.jit(step)(state, frozen, batch, jax.random.PRNGKey(2))
+
+    mesh = M.make_mesh(8)
+    state_r = M.replicate(state, mesh)
+    frozen_r = M.replicate(frozen, mesh)
+    batch_s = M.shard_batch(batch, mesh)
+    dp_step = M.jit_train_step(step, mesh)
+    new_state, metrics = dp_step(state_r, frozen_r, batch_s,
+                                 jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(single[1]["loss"]), rtol=1e-4)
+    # params updated identically
+    a = jax.tree.leaves(single[0].trainable)[0]
+    b = jax.tree.leaves(new_state.trainable)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-6)
