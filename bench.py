@@ -1,0 +1,83 @@
+"""Headline benchmark: frames/sec/chip, 512px 50-step DDIM story frame.
+
+Measures the flagship StoryGen operating point (BASELINE.md): one
+auto-regressive story frame at 512x512, DDIM-50, 3-way CFG, 3 reference
+frames through the VLCM — i.e. per denoise step one batched reference-cycle
+UNet pass (batch 3B*3) plus one main pass (batch 3B) — in bf16 on a single
+chip, everything inside one jitted fori_loop.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). The ratio
+reported here is against an *estimated* A100 PyTorch fp16+xformers figure
+for the same workload: SD-1.5 UNet batch-2 CFG step ~= 30 ms on A100 =>
+StoryGen step (12 batch-1-equivalent UNet forwards) ~= 180 ms => ~9 s per
+frame => 0.11 frames/s. Update when a measured reference number exists.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_EST_FRAMES_PER_SEC = 0.11
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from storygen_tpu.configs import UNetConfig, VAEConfig
+    from storygen_tpu.models.unet import UNet2DConditionModel
+    from storygen_tpu.models.vae import AutoencoderKL
+    from storygen_tpu.pipeline import StoryGenSampler
+
+    rng = jax.random.PRNGKey(0)
+    b, n_refs, steps = 1, 3, 50
+    hw = 64  # 512px latents
+
+    unet = UNet2DConditionModel(config=UNetConfig(), dtype=jnp.bfloat16)
+    unet_params = jax.jit(unet.init)(
+        rng, jnp.zeros((1, 16, 16, 4)), jnp.asarray([0]),
+        jnp.zeros((1, 77, 768)))
+    vae = AutoencoderKL(config=VAEConfig(), dtype=jnp.bfloat16)
+    vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
+    params = {"unet": unet_params, "vae": vae_params}
+
+    sampler = StoryGenSampler(unet, vae)
+    ks = jax.random.split(rng, 8)
+    latents = jax.random.normal(ks[0], (b, hw, hw, 4), jnp.float32)
+    text_u = jax.random.normal(ks[1], (b, 77, 768), jnp.float32) * 0.02
+    text_c = jax.random.normal(ks[2], (b, 77, 768), jnp.float32) * 0.02
+    refs = jax.random.normal(ks[3], (n_refs, b, hw, hw, 4), jnp.float32)
+    zero = jax.random.normal(ks[4], (b, hw, hw, 4), jnp.float32) * 0.01
+    prev_u = jax.random.normal(ks[5], (n_refs, b, 77, 768), jnp.float32) * 0.02
+    prev_c = jax.random.normal(ks[6], (n_refs, b, 77, 768), jnp.float32) * 0.02
+    noise = jax.random.normal(ks[7], (b, hw, hw, 4), jnp.float32)
+
+    def run():
+        lat = sampler.sample(params, latents, text_u, text_c, refs, zero,
+                             prev_u, prev_c, noise, jnp.asarray(7.0),
+                             jnp.asarray(3.5), stage="auto-regressive",
+                             num_inference_steps=steps)
+        img = sampler.decode(params["vae"], lat)
+        return img
+
+    # warmup / compile
+    run().block_until_ready()
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = run()
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames_per_sec = b / dt
+    print(json.dumps({
+        "metric": "frames_per_sec_per_chip_512px_ddim50_autoregressive_3ref",
+        "value": round(frames_per_sec, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / A100_EST_FRAMES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
