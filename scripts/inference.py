@@ -1,0 +1,80 @@
+"""Story inference CLI (reference inference.py:24-150 parity).
+
+Example:
+  python scripts/inference.py --ckpt ./ckpt/stable-diffusion-v1-5 \\
+      --logdir ./out --stage auto-regressive \\
+      --prompt "The angry girl sat on the old chair." \\
+      --ref_image prev1.png prev2.png prev3.png \\
+      --ref_prompt "..." "..." "..." \\
+      --num_inference_steps 40 --guidance_scale 7 --image_guidance_scale 3.5
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True,
+                    help="diffusers-layout checkpoint folder")
+    ap.add_argument("--logdir", default="./inference_out")
+    ap.add_argument("--stage", default="auto-regressive",
+                    choices=["no", "multi-image-condition",
+                             "auto-regressive"])
+    ap.add_argument("--prompt", required=True)
+    ap.add_argument("--ref_image", nargs="*", default=[])
+    ap.add_argument("--ref_prompt", nargs="*", default=[])
+    ap.add_argument("--num_inference_steps", type=int, default=40)
+    ap.add_argument("--guidance_scale", type=float, default=7.0)
+    ap.add_argument("--image_guidance_scale", type=float, default=3.5)
+    ap.add_argument("--num_sample_per_prompt", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from storygen_tpu.checkpoint.hf_import import load_diffusers_pretrained
+    from storygen_tpu.data.loader import Tokenizer
+    from storygen_tpu.pipeline import StoryGenPipeline
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    bundle = load_diffusers_pretrained(args.ckpt, dtype=dtype)
+    tok_path = os.path.join(args.ckpt, "tokenizer")
+    tokenizer = Tokenizer(tok_path if os.path.isdir(tok_path) else args.ckpt)
+
+    pipe = StoryGenPipeline(
+        bundle["unet"], bundle["unet_params"], bundle["vae"],
+        bundle["vae_params"], bundle["text_encoder"], bundle["text_params"],
+        tokenizer, bundle["scheduler_config"])
+
+    refs = None
+    if args.ref_image:
+        # [0,1] refs: reference-checkpoint convention (see data/datasets.py)
+        imgs = [np.asarray(Image.open(p).convert("RGB").resize((512, 512)),
+                           dtype=np.float32) / 255.0
+                for p in args.ref_image]
+        refs = np.stack(imgs)[:, None]  # (N, B=1, H, W, 3)
+
+    os.makedirs(args.logdir, exist_ok=True)
+    for s in range(args.num_sample_per_prompt):
+        out = pipe(stage=args.stage, prompt=[args.prompt],
+                   image_prompt=refs,
+                   prev_prompt=[[p] for p in args.ref_prompt] or None,
+                   num_inference_steps=args.num_inference_steps,
+                   guidance_scale=args.guidance_scale,
+                   image_guidance_scale=args.image_guidance_scale,
+                   rng=jax.random.PRNGKey(args.seed + s))
+        img = (out[0] * 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(args.logdir, f"{args.seed + s}_output.png"))
+        print(f"saved sample {s}")
+
+
+if __name__ == "__main__":
+    main()

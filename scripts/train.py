@@ -1,0 +1,43 @@
+"""Training CLI for all three stages (reference train_*.py __main__ parity:
+train(**OmegaConf.load(config))).
+
+  python scripts/train.py --stage stage2 --config configs/stage2_config.yml
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="stage2",
+                    choices=["stage1", "stage2", "coco"])
+    ap.add_argument("--config", required=True)
+    args = ap.parse_args()
+
+    from storygen_tpu.configs import TrainConfig
+    from storygen_tpu.data.datasets import (COCOMultiSegDataset,
+                                            StorySalonDataset)
+    from storygen_tpu.data.loader import Tokenizer
+    from storygen_tpu.training.trainer import train
+
+    cfg = TrainConfig.from_yaml(args.config)
+    if args.stage == "coco":
+        dataset = COCOMultiSegDataset(cfg.dataset_path, seed=cfg.seed)
+        val_dataset = None
+    else:
+        dataset = StorySalonDataset(cfg.dataset_path, "train", seed=cfg.seed)
+        val_dataset = StorySalonDataset(cfg.dataset_path, "test")
+
+    tok_path = os.path.join(cfg.pretrained_model_path, "tokenizer")
+    tokenizer = Tokenizer(tok_path if os.path.isdir(tok_path)
+                          else cfg.pretrained_model_path)
+
+    train(stage=args.stage, config=cfg, dataset=dataset,
+          val_dataset=val_dataset, tokenizer=tokenizer)
+
+
+if __name__ == "__main__":
+    main()

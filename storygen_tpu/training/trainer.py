@@ -1,0 +1,174 @@
+"""Training driver: the `train(**config)` entrypoint for all three stages.
+
+Capability parity with train_StorySalon_stage1.py / train_StorySalon_stage2.py
+/ train_COCO.py `train()` (:104-362 in each): config-as-kwargs (YAML via
+TrainConfig.from_yaml), trainable-subset finetuning, periodic validation
+sampling (SampleLogger), periodic checkpointing, loss/lr logging.
+
+Beyond the reference (SURVEY.md §5 gaps closed):
+- resume-from-checkpoint including optimizer state (reference restarts at 0)
+- data-parallel over a jax.sharding mesh instead of accelerate/DDP
+- config dump to logdir for run reproducibility (utils/util.py parity)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from storygen_tpu.checkpoint import hf_export, hf_import, orbax_io
+from storygen_tpu.configs import (SchedulerConfig, TrainConfig, UNetConfig,
+                                  VAEConfig, CLIPTextConfig)
+from storygen_tpu.diffusion import schedule as S
+from storygen_tpu.parallel import mesh as M
+from storygen_tpu.training import optim, steps
+from storygen_tpu.utils.logging import MetricLogger
+
+
+class SampleLogger:
+    """Render validation images every `validation_steps` (reference
+    SampleLogger, train_StorySalon_stage2.py:30-102)."""
+
+    def __init__(self, pipeline, logdir: str, stage: str = "auto-regressive",
+                 num_inference_steps: int = 40, guidance_scale: float = 7.0,
+                 image_guidance_scale: float = 3.5):
+        self.pipeline = pipeline
+        self.logdir = os.path.join(logdir, "samples")
+        os.makedirs(self.logdir, exist_ok=True)
+        self.stage = stage
+        self.kw = dict(num_inference_steps=num_inference_steps,
+                       guidance_scale=guidance_scale,
+                       image_guidance_scale=image_guidance_scale)
+
+    def log_sample_images(self, batch: Dict, step: int) -> None:
+        from PIL import Image
+        prompts = batch.get("prompt", ["a story illustration"])
+        if self.stage == "no":
+            imgs = self.pipeline(stage="no", prompt=prompts, **self.kw)
+        else:
+            refs = np.asarray(batch["ref_images"])
+            prev = batch.get("ref_prompts")
+            prev = [[p[i] for p in prev] for i in range(len(prev[0]))] \
+                if prev and isinstance(prev[0], list) else prev
+            imgs = self.pipeline(stage=self.stage, prompt=prompts,
+                                 image_prompt=refs, prev_prompt=prev,
+                                 **self.kw)
+        for i, img in enumerate(imgs):
+            arr = (np.asarray(img) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(self.logdir, f"step{step}_{i}.png"))
+
+
+def build_models(cfg: TrainConfig, dtype=jnp.float32):
+    """Load pretrained components (diffusers folder) or random-init."""
+    root = cfg.pretrained_model_path
+    if root and os.path.isdir(os.path.join(root, "unet")):
+        bundle = hf_import.load_diffusers_pretrained(root, dtype=dtype)
+        return bundle
+    # random init fallback (smoke/testing)
+    from storygen_tpu.models.clip_text import init_clip_params
+    from storygen_tpu.models.unet import init_unet_params
+    from storygen_tpu.models.vae import AutoencoderKL
+    rng = jax.random.PRNGKey(cfg.seed)
+    unet_cfg, vae_cfg, clip_cfg = UNetConfig(), VAEConfig(), CLIPTextConfig()
+    unet, unet_params = init_unet_params(rng, unet_cfg, dtype=dtype)
+    vae = AutoencoderKL(config=vae_cfg, dtype=dtype)
+    vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
+    clip, clip_params = init_clip_params(rng, clip_cfg, dtype=dtype)
+    return dict(unet=unet, unet_params=unet_params, unet_config=unet_cfg,
+                vae=vae, vae_params=vae_params, vae_config=vae_cfg,
+                text_encoder=clip, text_params=clip_params,
+                clip_config=clip_cfg, scheduler_config=SchedulerConfig())
+
+
+def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
+          dataset=None, val_dataset=None, tokenizer=None,
+          sample_logger: Optional[SampleLogger] = None,
+          **overrides) -> steps.TrainState:
+    """Run a training stage end-to-end. Returns the final TrainState.
+
+    stage: 'stage1' | 'stage2' | 'coco'.
+    dataset/val_dataset: objects with __len__/__getitem__ yielding the
+      dicts of data/datasets.py. tokenizer: callable list[str]->(B,77) ids.
+    """
+    cfg = config or TrainConfig(**overrides)
+    if overrides and config is not None:
+        cfg = dataclasses.replace(cfg, **overrides)
+    os.makedirs(cfg.logdir, exist_ok=True)
+    with open(os.path.join(cfg.logdir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+
+    dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else jnp.float32
+    bundle = build_models(cfg, dtype=dtype)
+    unet, vae, clip = (bundle["unet"], bundle["vae"],
+                       bundle["text_encoder"])
+    sched = S.make_schedule(bundle["scheduler_config"])
+
+    tx = optim.make_optimizer(cfg)
+    trainable, frozen_unet = optim.partition_params(
+        bundle["unet_params"], optim.STAGE_PREDICATES[stage])
+    state = steps.init_train_state(trainable, tx)
+    frozen = steps.FrozenBundle(unet_frozen=frozen_unet,
+                                vae=bundle["vae_params"],
+                                text=bundle["text_params"])
+
+    ckpt_dir = os.path.join(cfg.logdir, "orbax")
+    start = orbax_io.latest_step(ckpt_dir)
+    if start is not None:
+        state = orbax_io.restore_checkpoint(ckpt_dir, {"state": state})["state"]
+        print(f"resumed from step {start}")
+
+    maker = {"stage1": steps.make_stage1_step,
+             "stage2": steps.make_stage2_step,
+             "coco": steps.make_coco_step}[stage]
+    step_fn = maker(unet, vae, clip, sched, tx)
+
+    mesh = M.make_mesh(int(np.prod(cfg.mesh_shape)))
+    state_r = M.replicate(state, mesh)
+    frozen_r = M.replicate(frozen, mesh)
+    dp_step = M.jit_train_step(step_fn, mesh)
+
+    from storygen_tpu.data.loader import DataLoader
+    loader = DataLoader(dataset, cfg.train_batch_size, tokenizer=tokenizer,
+                        seed=cfg.seed)
+    logger = MetricLogger(cfg.logdir)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    micro_steps = cfg.train_steps * cfg.gradient_accumulation_steps
+    it = iter(loader)
+    t0 = time.time()
+    for micro in range(int(state.step), micro_steps):
+        batch = M.shard_batch(next(it), mesh)
+        rng, sub = jax.random.split(rng)
+        state_r, metrics = dp_step(state_r, frozen_r, batch, sub)
+
+        if (micro + 1) % cfg.gradient_accumulation_steps == 0:
+            opt_step = (micro + 1) // cfg.gradient_accumulation_steps
+            if opt_step % 50 == 0 or opt_step == 1:
+                loss = float(jax.device_get(metrics["loss"]))
+                logger.log(opt_step, {"loss": loss,
+                                      "lr": cfg.learning_rate,
+                                      "steps_per_sec":
+                                          opt_step / (time.time() - t0)})
+            if sample_logger is not None and val_dataset is not None \
+                    and opt_step % cfg.validation_steps == 0:
+                vb = val_dataset[opt_step % len(val_dataset)]
+                sample_logger.log_sample_images(
+                    {k: (np.asarray(v)[None] if hasattr(v, "shape") else [v])
+                     for k, v in vb.items()}, opt_step)
+            if opt_step % cfg.checkpointing_steps == 0:
+                host_state = jax.device_get(state_r)
+                orbax_io.save_checkpoint(ckpt_dir, opt_step, host_state)
+                # also export interop checkpoint (reference folder layout)
+                full = optim.merge_params(host_state.trainable, frozen_unet)
+                hf_export.save_pretrained(
+                    os.path.join(cfg.logdir, f"checkpoint_{opt_step}"),
+                    unet_params=full,
+                    configs={"unet": bundle.get("unet_config")})
+    return jax.device_get(state_r)
