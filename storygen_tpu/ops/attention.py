@@ -20,14 +20,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Flipped to True once the Pallas kernel is validated on-device; can be
-# overridden per-call or via set_default_backend.
-_DEFAULT_BACKEND = "xla"
+# "auto" routes big unmasked attention through the Pallas flash kernel and
+# everything else through XLA einsum; "xla"/"flash" force one path.
+_DEFAULT_BACKEND = "auto"
 
 
 def set_default_backend(backend: str) -> None:
     global _DEFAULT_BACKEND
-    assert backend in ("xla", "flash")
+    assert backend in ("xla", "flash", "auto")
     _DEFAULT_BACKEND = backend
 
 
@@ -74,9 +74,25 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     head_dim = q.shape[-1] // num_heads
     scale = head_dim ** -0.5
     qh, kh, vh = (split_heads(t, num_heads) for t in (q, k, v))
-    if backend == "flash" and mask is None:
+    use_flash = False
+    if backend in ("flash", "auto") and _on_tpu():
+        from storygen_tpu.ops.pallas_attention import flash_supported
+        if backend == "flash":
+            use_flash = mask is None
+        else:
+            use_flash = flash_supported(qh.shape[2], kh.shape[2],
+                                        has_mask=mask is not None)
+    if use_flash:
         from storygen_tpu.ops.pallas_attention import flash_attention
         out = flash_attention(qh, kh, vh, scale=scale)
     else:
         out = xla_attention(qh, kh, vh, scale, mask=mask)
     return merge_heads(out)
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False

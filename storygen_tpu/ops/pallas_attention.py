@@ -1,0 +1,132 @@
+"""Pallas TPU flash attention for the StoryGen UNet.
+
+Replaces the xformers memory-efficient attention the reference enables
+(train_StorySalon_stage2.py:159-161) with a TPU-native fused kernel.
+
+Why: at 512px the UNet's first-level attention runs at Sq=4096 and attn3's
+kv grows to 3*4096=12288 (3 reference frames, kv-concat per
+pipeline.py:440-443). Naive XLA attention materializes the (Sq, Skv)
+logits in HBM — at batch 9 x 8 heads that is GBs of traffic per forward,
+which is exactly the HBM-bandwidth wall. This kernel streams kv blocks
+through VMEM with the online-softmax recurrence, never materializing
+logits.
+
+Kernel shape notes (v5e):
+- grid (B*H, Sq/BQ, Skv/BK), kv innermost so the fp32 accumulator scratch
+  carries across kv steps; outputs written on the last kv step.
+- fp32 running max/sum/accumulator; bf16 MXU matmuls.
+- head_dim 40/80/160 (SD-1.5 widths / 8 heads) ride in a padded 128/256
+  lane layout chosen by Mosaic; the contraction dim does not need padding.
+
+Used automatically by ops/attention.multi_head_attention when shapes
+qualify (no mask, block-divisible, big enough to be bandwidth-bound).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  scale: float, num_kv_blocks: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]  # (BK, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BQ, BK) fp32
+
+    m_prev = m_ref[:, :1]                      # (BQ, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)                     # (BQ, BK) fp32
+    alpha = jnp.exp(m_prev - m_new)            # (BQ, 1)
+
+    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)    # (BQ, D)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _pick_block(size: int, preferred: int) -> Optional[int]:
+    for b in (preferred, 512, 256, 128):
+        if b <= size and size % b == 0:
+            return b
+    return None
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    scale: float, block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False) -> jax.Array:
+    """Fused attention over (B, H, S, D) tensors (no mask).
+
+    Requires Sq % block_q == 0 and Skv % block_k == 0 after block
+    auto-shrink; callers should gate with `flash_supported`.
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bq = _pick_block(sq, block_q)
+    bk = _pick_block(skv, block_k)
+    if bq is None or bk is None:
+        raise ValueError(f"unsupported seq lens ({sq}, {skv})")
+
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, skv, d)
+    vf = v.reshape(b * h, skv, d)
+    num_kv_blocks = skv // bk
+
+    grid = (b * h, sq // bq, num_kv_blocks)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale,
+                          num_kv_blocks=num_kv_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, sq, d)
+
+
+def flash_supported(sq: int, skv: int, has_mask: bool,
+                    min_flops: int = 1 << 20) -> bool:
+    """Flash pays off when the logits matrix is big enough to be
+    HBM-bound and blocks divide the sequence lengths."""
+    if has_mask:
+        return False
+    if sq * skv < min_flops:
+        return False
+    return (_pick_block(sq, 256) is not None
+            and _pick_block(skv, 512) is not None)

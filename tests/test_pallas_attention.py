@@ -1,0 +1,62 @@
+"""Flash-attention kernel correctness vs the XLA reference path
+(interpret mode on CPU; the same kernel compiles via Mosaic on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from storygen_tpu.ops.attention import xla_attention
+from storygen_tpu.ops.pallas_attention import (flash_attention,
+                                               flash_supported)
+
+
+@pytest.mark.parametrize("sq,skv,d", [
+    (256, 256, 40),    # self-attn shape (reduced)
+    (256, 768, 40),    # attn3 with 3-ref kv concat
+    (512, 256, 80),
+])
+def test_matches_xla(sq, skv, d):
+    rng = np.random.RandomState(0)
+    b, h = 2, 2
+    q = jnp.asarray(rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    scale = d ** -0.5
+    ref = xla_attention(q, k, v, scale)
+    out = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_bf16_io():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 2, 256, 40), dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.randn(1, 2, 256, 40), dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.randn(1, 2, 256, 40), dtype=jnp.bfloat16)
+    out = flash_attention(q, k, v, scale=0.16, block_q=128, block_k=128,
+                          interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32), 0.16)
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), rtol=0.05, atol=0.05)
+
+
+def test_numerically_stable_large_logits():
+    """Online softmax must survive large score magnitudes."""
+    q = jnp.full((1, 1, 128, 40), 10.0)
+    k = jnp.full((1, 1, 256, 40), 10.0)
+    v = jnp.ones((1, 1, 256, 40))
+    out = flash_attention(q, k, v, scale=1.0, block_q=128, block_k=128,
+                          interpret=True)
+    # uniform attention over identical keys -> output == v
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+
+def test_flash_supported_gating():
+    assert flash_supported(4096, 4096, has_mask=False)
+    assert flash_supported(4096, 12288, has_mask=False)
+    assert not flash_supported(4096, 4096, has_mask=True)
+    assert not flash_supported(64, 77, has_mask=False)   # text cross-attn
+    assert not flash_supported(4096, 77, has_mask=False)  # kv too small
