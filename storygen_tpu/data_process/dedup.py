@@ -1,0 +1,69 @@
+"""Duplicate-frame removal by embedding cosine similarity
+(data_process/dup_remove.py parity: DINO ViT-B/8 embeddings, drop the
+*previous* frame when cosine >= 0.75, dup_remove.py:18,38-43).
+
+The embedder is pluggable: `dino_embedder()` builds the reference's DINO
+backbone when torch-hub weights are available locally; any callable
+(B, H, W, 3) float [0,1] -> (B, D) works (e.g. the CLIP image tower).
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Sequence
+
+import numpy as np
+
+
+def cosine(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.dot(a, b) /
+                 (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def find_duplicates(embeddings: np.ndarray,
+                    threshold: float = 0.75) -> List[int]:
+    """Indices to DELETE: for each consecutive pair with cosine >=
+    threshold the EARLIER frame is dropped (reference keeps the later one,
+    dup_remove.py:38-43)."""
+    drop = []
+    for i in range(len(embeddings) - 1):
+        if cosine(embeddings[i], embeddings[i + 1]) >= threshold:
+            drop.append(i)
+    return drop
+
+
+def dedup_frames(paths: Sequence[str], embed_fn: Callable,
+                 threshold: float = 0.75, batch: int = 16,
+                 delete: bool = False) -> List[str]:
+    """Return the kept paths (optionally deleting dropped files)."""
+    from PIL import Image
+    embs = []
+    for i in range(0, len(paths), batch):
+        imgs = np.stack([
+            np.asarray(Image.open(p).convert("RGB").resize((224, 224)),
+                       dtype=np.float32) / 255.0
+            for p in paths[i:i + batch]])
+        embs.append(np.asarray(embed_fn(imgs)))
+    embs = np.concatenate(embs) if embs else np.zeros((0, 1))
+    dropped = set(find_duplicates(embs, threshold))
+    kept = [p for i, p in enumerate(paths) if i not in dropped]
+    if delete:
+        import os
+        for i in dropped:
+            os.remove(paths[i])
+    return kept
+
+
+def dino_embedder(repo_or_dir: str = "facebookresearch/dino:main",
+                  model: str = "dino_vitb8", source: str = "github"):
+    """The reference's DINO ViT-B/8 embedder (requires cached torch-hub
+    weights in this zero-egress sandbox)."""
+    import torch
+    net = torch.hub.load(repo_or_dir, model, source=source).eval()
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def fn(batch: np.ndarray) -> np.ndarray:
+        x = torch.from_numpy((batch - mean) / std).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            return net(x).numpy()
+
+    return fn
