@@ -49,6 +49,33 @@ def up_block_key(block_idx: int, layer_idx: int) -> str:
     return f"up_{block_idx}_{layer_idx + 1}"
 
 
+class UNetMidBlock2D(nn.Module):
+    """Plain (non-cross) mid block: resnet -> self-attn -> resnet
+    (unet_2d_blocks.py:119-194; present for API parity — the SD-1.5
+    config uses UNetMidBlock2DCrossAttn)."""
+    in_channels: int
+    resnet_groups: int = 32
+    resnet_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array,
+                 temb: jax.Array) -> jax.Array:
+        from storygen_tpu.models.vae import VAEAttentionBlock
+        hidden_states = ResnetBlock2D(
+            self.in_channels, groups=self.resnet_groups,
+            eps=self.resnet_eps, dtype=self.dtype,
+            name="resnets_0")(hidden_states, temb)
+        hidden_states = VAEAttentionBlock(
+            self.in_channels, groups=self.resnet_groups, dtype=self.dtype,
+            name="attentions_0")(hidden_states)
+        hidden_states = ResnetBlock2D(
+            self.in_channels, groups=self.resnet_groups,
+            eps=self.resnet_eps, dtype=self.dtype,
+            name="resnets_1")(hidden_states, temb)
+        return hidden_states
+
+
 class CrossAttnDownBlock2D(nn.Module):
     """[Resnet -> Transformer2D] x layers -> Downsample
     (unet_2d_blocks.py:300-436)."""

@@ -72,14 +72,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
 
 def _pick_block(size: int, preferred: int) -> Optional[int]:
-    for b in (preferred, 512, 256, 128):
+    # v5e sweep (scripts/profile_unet.py): bq=512, bk=1024 is fastest on
+    # the hot shapes (4096x4096 and 4096x12288); shrink only when the
+    # sequence does not divide.
+    for b in (preferred, 1024, 512, 256, 128):
         if b <= size and size % b == 0:
             return b
     return None
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
-                    scale: float, block_q: int = 256, block_k: int = 512,
+                    scale: float, block_q: int = 512, block_k: int = 1024,
                     interpret: bool = False) -> jax.Array:
     """Fused attention over (B, H, S, D) tensors (no mask).
 
@@ -121,12 +124,16 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
 
 def flash_supported(sq: int, skv: int, has_mask: bool,
-                    min_flops: int = 1 << 20) -> bool:
+                    min_flops: int = 2 << 20) -> bool:
     """Flash pays off when the logits matrix is big enough to be
-    HBM-bound and blocks divide the sequence lengths."""
+    HBM-bound and blocks divide the sequence lengths.
+
+    Threshold from v5e measurements (scripts/profile_unet.py):
+    4096x4096 d40 1.2x, 4096x12288 1.68x, 1024x3072 1.63x faster than XLA;
+    1024x1024 is faster on XLA — hence the 2M-logits floor."""
     if has_mask:
         return False
     if sq * skv < min_flops:
         return False
-    return (_pick_block(sq, 256) is not None
-            and _pick_block(skv, 512) is not None)
+    return (_pick_block(sq, 512) is not None
+            and _pick_block(skv, 1024) is not None)

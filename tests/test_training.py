@@ -166,3 +166,30 @@ def test_data_parallel_8_devices(models):
     b = jax.tree.leaves(new_state.trainable)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_data_parallel_serving(models):
+    """Batched inference sharded over the 8-device mesh matches
+    single-device sampling."""
+    import jax.numpy as jnp
+    from storygen_tpu.pipeline import StoryGenSampler
+    from storygen_tpu.parallel.serving import sample_data_parallel
+    unet, unet_params, vae, vae_params, _, _ = models
+    sampler = StoryGenSampler(unet, vae)
+    params = {"unet": unet_params, "vae": vae_params}
+    b = 8
+    rngs = jax.random.split(jax.random.PRNGKey(9), 3)
+    lat = jax.random.normal(rngs[0], (b, 8, 8, 4))
+    tu = jax.random.normal(rngs[1], (b, 8, 16))
+    tc = jax.random.normal(rngs[2], (b, 8, 16))
+    noise = jnp.zeros((b, 8, 8, 4))
+    single = sampler.sample(params, lat, tu, tc, None, None, None, None,
+                            noise, jnp.asarray(7.5), jnp.asarray(3.5),
+                            stage="no", num_inference_steps=2)
+    mesh = M.make_mesh(8)
+    dp = sample_data_parallel(sampler, mesh, params, lat, tu, tc, None,
+                              None, None, None, noise, jnp.asarray(7.5),
+                              jnp.asarray(3.5), stage="no",
+                              num_inference_steps=2)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(single),
+                               rtol=2e-4, atol=1e-5)
