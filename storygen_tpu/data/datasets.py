@@ -35,17 +35,21 @@ from PIL import Image
 
 
 def _load_image(path: str, size: int = 512) -> np.ndarray:
-    """RGB HWC float32 in [0, 1]."""
+    """RGB HWC float32 in [0, 1] (normalize fused in native C++ when the
+    extension is available, storygen_tpu/native)."""
+    from storygen_tpu import native
     img = Image.open(path).convert("RGB").resize((size, size))
-    return np.asarray(img, dtype=np.float32) / 255.0
+    return native.normalize_u8(np.asarray(img, dtype=np.uint8),
+                               1.0 / 255.0, 0.0)
 
 
 def _load_mask(path: str, size: int = 512) -> np.ndarray:
     """single-channel HW1 float32 in [0, 1] (reference keeps channel 0 of
     an RGB mask, dataset.py:46 / train_*:269)."""
+    from storygen_tpu import native
     img = Image.open(path).convert("RGB").resize((size, size))
-    arr = np.asarray(img, dtype=np.float32)[:, :, :1] / 255.0
-    return arr
+    arr = np.asarray(img, dtype=np.uint8)[:, :, :1]
+    return native.normalize_u8(arr, 1.0 / 255.0, 0.0)
 
 
 def _read_text(path: str) -> str:
