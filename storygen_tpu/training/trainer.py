@@ -90,6 +90,7 @@ def build_models(cfg: TrainConfig, dtype=jnp.float32):
 def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
           dataset=None, val_dataset=None, tokenizer=None,
           sample_logger: Optional[SampleLogger] = None,
+          models_bundle: Optional[dict] = None,
           **overrides) -> steps.TrainState:
     """Run a training stage end-to-end. Returns the final TrainState.
 
@@ -105,7 +106,7 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
         json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
     dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else jnp.float32
-    bundle = build_models(cfg, dtype=dtype)
+    bundle = models_bundle or build_models(cfg, dtype=dtype)
     unet, vae, clip = (bundle["unet"], bundle["vae"],
                        bundle["text_encoder"])
     sched = S.make_schedule(bundle["scheduler_config"])
