@@ -330,3 +330,11 @@ class StoryGenPipeline:
             frames.append(img[0])
             history.append((img[0], prompt))
         return frames
+
+
+def numpy_to_pil(images: np.ndarray):
+    """(B, H, W, 3) float [0,1] -> list of PIL images
+    (reference pipeline.numpy_to_pil parity, model/pipeline.py:486-491)."""
+    from PIL import Image
+    arr = (np.asarray(images) * 255).round().astype("uint8")
+    return [Image.fromarray(a) for a in arr]

@@ -145,3 +145,16 @@ def test_collate_and_loader(salon_root):
     # cycles epochs forever
     for _ in range(4):
         next(it)
+
+
+def test_shipped_sample_fixtures():
+    """The repo ships a 2-sample smoke fixture under data/ (reference
+    SimpleDataset layout)."""
+    import os
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data")
+    ds = SimpleDataset(root, size=128)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (128, 128, 3)
+    assert "sun" in s["prompt"] or "moon" in s["prompt"]
