@@ -124,13 +124,13 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
 
 def flash_supported(sq: int, skv: int, has_mask: bool,
-                    min_flops: int = 2 << 20) -> bool:
+                    min_flops: int = 1 << 20) -> bool:
     """Flash pays off when the logits matrix is big enough to be
     HBM-bound and blocks divide the sequence lengths.
 
-    Threshold from v5e measurements (scripts/profile_unet.py):
-    4096x4096 d40 1.2x, 4096x12288 1.68x, 1024x3072 1.63x faster than XLA;
-    1024x1024 is faster on XLA — hence the 2M-logits floor."""
+    Threshold from v5e measurements (scripts/profile_unet.py, bq=512
+    bk=1024): 4096x4096 1.75x, 4096x12288 2.5x, 1024x3072 1.25x,
+    1024x1024 1.15x faster than XLA; smaller shapes favor XLA."""
     if has_mask:
         return False
     if sq * skv < min_flops:

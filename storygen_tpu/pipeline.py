@@ -116,11 +116,15 @@ class StoryGenSampler:
             # main-pass text: [uncond, uncond, cond] (pipeline.py:448)
             text3 = jnp.concatenate(
                 [text_emb_uncond, text_emb_uncond, text_emb_cond], axis=0)
-            # ref-pass text per ref: [uncond, cond, cond] (pipeline.py:430)
-            prev3 = jnp.concatenate(
-                [prev_text_uncond, prev_text_cond, prev_text_cond], axis=1
-            )  # (N, 3B, 77, 768)
-            prev3_flat = prev3.reshape((num_refs * 3 * b,) + prev3.shape[2:])
+            # Reference-pass CFG rows: the reference runs 3 rows per ref
+            # ([zero,ref,ref] x [uncond,cond,cond], pipeline.py:429-430) —
+            # but rows 1 and 2 are IDENTICAL (ref latent, cond caption).
+            # Run 2 rows and reuse the features for row 2: exact, and cuts
+            # the reference pass by a third.
+            prev2 = jnp.concatenate(
+                [prev_text_uncond, prev_text_cond], axis=1
+            )  # (N, 2B, 77, 768)
+            prev2_flat = prev2.reshape((num_refs * 2 * b,) + prev2.shape[2:])
         else:
             text2 = jnp.concatenate([text_emb_uncond, text_emb_cond], axis=0)
 
@@ -145,23 +149,24 @@ class StoryGenSampler:
                                              zero_latents[None],
                                              ref_latents.shape),
                                          noise[None], ref_ts)
-                # CFG triple per ref: [zero, ref, ref] (pipeline.py:429)
-                trip = jnp.concatenate([noisy_zero, noisy_refs, noisy_refs],
-                                       axis=1)  # (N, 3B, h, w, 4)
-                trip_flat = trip.reshape((num_refs * 3 * b,)
-                                         + trip.shape[2:])
-                t_flat = jnp.repeat(ref_ts, 3 * b)
+                # deduplicated CFG rows per ref: [zero, ref]
+                pair = jnp.concatenate([noisy_zero, noisy_refs],
+                                       axis=1)  # (N, 2B, h, w, 4)
+                pair_flat = pair.reshape((num_refs * 2 * b,)
+                                         + pair.shape[2:])
+                t_flat = jnp.repeat(ref_ts, 2 * b)
                 # ONE batched reference pass for all refs (vs the
                 # reference's serial per-ref forwards)
-                _, ctx = unet_apply(trip_flat, t_flat, prev3_flat)
-                # (N*3B, S, C) -> (3B, N*S, C): concat refs on seq dim
-                # (pipeline.py:440-443)
-                ctx = {
-                    k: v.reshape((num_refs, 3 * b) + v.shape[1:])
-                        .transpose(1, 0, 2, 3)
-                        .reshape((3 * b, num_refs * v.shape[1], v.shape[2]))
-                    for k, v in ctx.items()
-                }
+                _, ctx = unet_apply(pair_flat, t_flat, prev2_flat)
+                # (N*2B, S, C) -> (2B, N*S, C) -> expand rows to the 3-row
+                # CFG layout [zero, ref, ref] (pipeline.py:440-443 concat)
+                def expand(v):
+                    v = (v.reshape((num_refs, 2 * b) + v.shape[1:])
+                          .transpose(1, 0, 2, 3)
+                          .reshape((2 * b, num_refs * v.shape[1],
+                                    v.shape[2])))
+                    return jnp.concatenate([v, v[b:]], axis=0)
+                ctx = {k: expand(v) for k, v in ctx.items()}
                 lat_in = jnp.concatenate([latents] * 3, axis=0)
                 eps3, _ = unet_apply(lat_in, t, text3, ctx)
                 eps_uncond, eps_img, eps_all = jnp.split(eps3, 3, axis=0)
