@@ -1,0 +1,86 @@
+"""Training-step throughput on TPU: full-size stage-2 step (reference
+config semantics: 512px, 3 refs, masked MSE, trainable attn3).
+
+Usage: python scripts/bench_train.py [--batch 4] [--remat]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--remat", action="store_true", default=True)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from storygen_tpu.configs import (CLIPTextConfig, SchedulerConfig,
+                                      TrainConfig, UNetConfig, VAEConfig)
+    from storygen_tpu.diffusion import schedule as S
+    from storygen_tpu.models.clip_text import CLIPTextModel
+    from storygen_tpu.models.unet import UNet2DConditionModel
+    from storygen_tpu.models.vae import AutoencoderKL
+    from storygen_tpu.training import optim, steps
+
+    rng = jax.random.PRNGKey(0)
+    dtype = jnp.bfloat16
+    unet = UNet2DConditionModel(config=UNetConfig(), dtype=dtype,
+                                remat=args.remat)
+    unet_params = jax.jit(unet.init)(rng, jnp.zeros((1, 16, 16, 4)),
+                                     jnp.asarray([0]),
+                                     jnp.zeros((1, 77, 768)))
+    vae = AutoencoderKL(config=VAEConfig(), dtype=dtype)
+    vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
+    clip = CLIPTextModel(config=CLIPTextConfig(), dtype=dtype)
+    clip_params = jax.jit(clip.init)(rng, jnp.zeros((1, 77), jnp.int32))
+
+    cfg = TrainConfig(gradient_accumulation_steps=1)
+    tx = optim.make_optimizer(cfg)
+    trainable, frozen_unet = optim.partition_params(
+        unet_params, optim.STAGE_PREDICATES["stage2"])
+    sched = S.make_schedule(SchedulerConfig())
+    step = jax.jit(steps.make_stage2_step(unet, vae, clip, sched, tx),
+                   donate_argnums=(0,))
+    state = steps.init_train_state(trainable, tx)
+    # frozen activations/weights in bf16 on device
+    frozen = steps.FrozenBundle(
+        unet_frozen=jax.tree.map(lambda x: x.astype(dtype), frozen_unet),
+        vae=jax.tree.map(lambda x: x.astype(dtype), vae_params),
+        text=clip_params)
+
+    b, img = args.batch, 512
+    r = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(r.randn(b, img, img, 3), dtype) * 0.2,
+        "mask": jnp.asarray(r.rand(b, img, img, 1) > 0.8, jnp.float32),
+        "input_ids": jnp.asarray(r.randint(0, 49408, (b, 77)), jnp.int32),
+        "ref_images": jnp.asarray(r.randn(3, b, img, img, 3), dtype) * 0.2,
+        "ref_input_ids": jnp.asarray(r.randint(0, 49408, (3, b, 77)),
+                                     jnp.int32),
+    }
+
+    state, m = step(state, frozen, batch, jax.random.PRNGKey(1))
+    jax.device_get(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, m = step(state, frozen, batch, jax.random.PRNGKey(2 + i))
+    jax.device_get(m["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"stage2 train step: batch {b}, {dt*1e3:.0f} ms/step, "
+          f"{b/dt:.2f} samples/s/chip, loss={float(m['loss']):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,13 +81,21 @@ def _pick_block(size: int, preferred: int) -> Optional[int]:
     return None
 
 
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
-                    scale: float, block_q: int = 512, block_k: int = 1024,
+@functools.partial(jax.custom_vjp, nondiff_argnames=("scale", "block_q",
+                                                     "block_k", "interpret"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    scale: float = 1.0, block_q: int = 512,
+                    block_k: int = 1024,
                     interpret: bool = False) -> jax.Array:
     """Fused attention over (B, H, S, D) tensors (no mask).
 
     Requires Sq % block_q == 0 and Skv % block_k == 0 after block
     auto-shrink; callers should gate with `flash_supported`.
+
+    Differentiable: the custom VJP recomputes attention with the XLA
+    einsum formulation for the backward pass (flash forward keeps serving
+    fast; training backward materializes logits — a dedicated backward
+    kernel is the next optimization).
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -121,6 +129,36 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, sq, d)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out = flash_attention(q, k, v, scale=scale, block_q=block_q,
+                          block_k=block_k, interpret=interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+    """Backward via the standard attention gradient (recomputed logits).
+
+    dV = P^T g;  dP = g V^T;  dS = P ∘ (dP - rowsum(dP ∘ P));
+    dQ = dS K * scale;  dK = dS^T Q * scale. fp32 softmax statistics.
+    """
+    q, k, v = res
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_supported(sq: int, skv: int, has_mask: bool,

@@ -225,10 +225,17 @@ class StoryGenPipeline:
             lambda ids: text_encoder.apply(text_params, ids))
 
     def tokenize(self, prompts: Sequence[str]) -> jax.Array:
-        out = self.tokenizer(list(prompts), padding="max_length",
-                             max_length=77, truncation=True,
-                             return_tensors="np")
-        return jnp.asarray(out["input_ids"], dtype=jnp.int32)
+        """Accepts either a data.loader.Tokenizer-style callable
+        (list[str] -> (B, 77) ids) or a raw HF tokenizer."""
+        try:
+            ids = self.tokenizer(list(prompts))
+            if isinstance(ids, dict) or hasattr(ids, "input_ids"):
+                ids = ids["input_ids"]
+        except TypeError:
+            ids = self.tokenizer(list(prompts), padding="max_length",
+                                 max_length=77, truncation=True,
+                                 return_tensors="np")["input_ids"]
+        return jnp.asarray(ids, dtype=jnp.int32)
 
     def encode_prompt(self, prompts: Sequence[str]) -> jax.Array:
         """(B,) strings -> (B, 77, 768), reference _encode_prompt

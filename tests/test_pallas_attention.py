@@ -60,3 +60,25 @@ def test_flash_supported_gating():
     assert not flash_supported(4096, 4096, has_mask=True)
     assert not flash_supported(64, 77, has_mask=False)   # text cross-attn
     assert not flash_supported(4096, 77, has_mask=False)  # kv too small
+
+
+def test_flash_is_differentiable():
+    """custom VJP: grads match the XLA attention path."""
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, 2, 128, 16), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 256, 16), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 256, 16), dtype=jnp.float32)
+    scale = 0.25
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=scale, block_q=128,
+                                       block_k=128, interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, scale) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-3)
