@@ -138,23 +138,39 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    """Backward via the standard attention gradient (recomputed logits).
-
-    dV = P^T g;  dP = g V^T;  dS = P ∘ (dP - rowsum(dP ∘ P));
-    dQ = dS K * scale;  dK = dS^T Q * scale. fp32 softmax statistics.
-    """
+    """Memory-bounded backward: the standard attention gradient
+    (dV = P^T g; dP = g V^T; dS = P (dP - rowsum(dP P)); dQ = dS K s;
+    dK = dS^T Q s) recomputed in q-chunks under lax.scan, so the peak
+    live logits buffer is (B, H, CHUNK, Skv) instead of (B, H, Sq, Skv).
+    fp32 softmax statistics; bf16 matmul inputs."""
     q, k, v = res
-    qf = q.astype(jnp.float32)
+    b, h, sq, d = q.shape
+    chunk = min(512, sq)
+    n_chunks = sq // chunk
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+
+    q_c = q.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+    g_c = g.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+
+    def body(carry, qg):
+        dk_acc, dv_acc = carry
+        qc, gc = qg
+        qcf = qc.astype(jnp.float32)
+        gcf = gc.astype(jnp.float32)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qcf, kf,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, gcf)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gcf, vf)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_c = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+        dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", ds, qcf) * scale
+        return (dk_acc, dv_acc), dq_c
+
+    zeros = jnp.zeros(k.shape, jnp.float32)
+    (dk, dv), dq_chunks = jax.lax.scan(body, (zeros, zeros), (q_c, g_c))
+    dq = dq_chunks.transpose(1, 2, 0, 3, 4).reshape(b, h, sq, d)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
