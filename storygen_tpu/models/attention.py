@@ -46,7 +46,8 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, hidden_states: jax.Array,
                  encoder_hidden_states: Optional[jax.Array] = None,
-                 mask: Optional[jax.Array] = None) -> jax.Array:
+                 mask: Optional[jax.Array] = None,
+                 ref_mask: Optional[jax.Array] = None) -> jax.Array:
         inner_dim = self.heads * self.dim_head
         context = (hidden_states if encoder_hidden_states is None
                    else encoder_hidden_states)
@@ -57,7 +58,7 @@ class CrossAttention(nn.Module):
         v = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype,
                      name="to_v")(context)
         out = multi_head_attention(q, k, v, self.heads, mask=mask,
-                                   backend=self.backend)
+                                   ref_mask=ref_mask, backend=self.backend)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
 
 
@@ -110,10 +111,11 @@ class BasicTransformerBlock(nn.Module):
     Returns (hidden_states, img_dif_condition) where the condition is the
     post-attn1 hidden state (model/attention.py:236-302).
 
-    `image_kv_mask` (B, S_kv) masks attn3 keys — the TPU-native mechanism
-    for training with a random 1-3 reference frames at static shapes
-    (replaces the reference's dynamic per-step ref loop,
-    train_StorySalon_stage2.py:306-318).
+    `image_ref_mask` (B, N_refs) masks attn3's reference-frame kv spans —
+    the TPU-native mechanism for training with a random 1-3 reference
+    frames at static shapes (replaces the reference's dynamic per-step ref
+    loop, train_StorySalon_stage2.py:306-318). Per-ref granularity keeps
+    the masked attention on the Pallas flash path (block mask).
     """
     dim: int
     num_heads: int
@@ -126,7 +128,7 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, hidden_states: jax.Array,
                  encoder_hidden_states: jax.Array,
                  image_hidden_states: Optional[jax.Array] = None,
-                 image_kv_mask: Optional[jax.Array] = None,
+                 image_ref_mask: Optional[jax.Array] = None,
                  ) -> Tuple[jax.Array, jax.Array]:
         # 1. self-attention
         norm_h = LayerNorm(dtype=self.dtype, name="norm1")(hidden_states)
@@ -155,11 +157,8 @@ class BasicTransformerBlock(nn.Module):
                                dtype=self.dtype, backend=self.attn_backend,
                                name="attn3")
         if image_hidden_states is not None:
-            mask = None
-            if image_kv_mask is not None:
-                mask = image_kv_mask[:, None, None, :].astype(bool)
             attn_i = attn3(norm_i, encoder_hidden_states=image_hidden_states,
-                           mask=mask)
+                           ref_mask=image_ref_mask)
             hidden_states = hidden_states_t + (attn_i + hidden_states)
         else:
             # Keep attn3 params initialized even on the reference cycle.
@@ -193,7 +192,7 @@ class Transformer2DModel(nn.Module):
     def __call__(self, hidden_states: jax.Array,
                  encoder_hidden_states: jax.Array,
                  image_hidden_states: Optional[jax.Array] = None,
-                 image_kv_mask: Optional[jax.Array] = None,
+                 image_ref_mask: Optional[jax.Array] = None,
                  ) -> Tuple[jax.Array, jax.Array]:
         b, h, w, c = hidden_states.shape
         inner_dim = self.num_heads * self.head_dim
@@ -206,7 +205,7 @@ class Transformer2DModel(nn.Module):
             inner_dim, self.num_heads, self.head_dim,
             cross_attention_dim=self.cross_attention_dim, dtype=self.dtype,
             attn_backend=self.attn_backend, name="transformer_blocks_0")(
-            x, encoder_hidden_states, image_hidden_states, image_kv_mask)
+            x, encoder_hidden_states, image_hidden_states, image_ref_mask)
         x = x.reshape(b, h, w, inner_dim)
         x = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out")(x)
         return x + residual, img_dif_condition

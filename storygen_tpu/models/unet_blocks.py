@@ -31,14 +31,10 @@ Dtype = Any
 Context = Dict[str, jax.Array]
 
 
-def expand_ref_mask(ref_mask: Optional[jax.Array],
-                    ctx: Optional[jax.Array]) -> Optional[jax.Array]:
-    """(B, N) per-ref flags -> (B, N*S) kv mask for a context of seq N*S."""
-    if ref_mask is None or ctx is None:
-        return None
-    n = ref_mask.shape[1]
-    s = ctx.shape[1] // n
-    return jnp.repeat(ref_mask, s, axis=1)
+def _gate_mask(ref_mask: Optional[jax.Array],
+               ctx: Optional[jax.Array]) -> Optional[jax.Array]:
+    """Pass the (B, N) per-ref mask through only when a context exists."""
+    return None if ctx is None else ref_mask
 
 
 def down_block_key(block_idx: int, layer_idx: int) -> str:
@@ -114,7 +110,7 @@ class CrossAttnDownBlock2D(nn.Module):
                 attn_backend=self.attn_backend,
                 name=f"attentions_{i}")(hidden_states, encoder_hidden_states,
                                         img_ctx,
-                                        expand_ref_mask(ref_mask, img_ctx))
+                                        _gate_mask(ref_mask, img_ctx))
             if image_context is None:
                 collected[key] = tap
             output_states += (hidden_states,)
@@ -181,7 +177,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
             norm_num_groups=self.resnet_groups, dtype=self.dtype,
             attn_backend=self.attn_backend,
             name="attentions_0")(hidden_states, encoder_hidden_states, img_ctx,
-                                 expand_ref_mask(ref_mask, img_ctx))
+                                 _gate_mask(ref_mask, img_ctx))
         hidden_states = ResnetBlock2D(
             self.in_channels, groups=self.resnet_groups, eps=self.resnet_eps,
             dtype=self.dtype, name="resnets_1")(hidden_states, temb)
@@ -228,7 +224,7 @@ class CrossAttnUpBlock2D(nn.Module):
                 attn_backend=self.attn_backend,
                 name=f"attentions_{i}")(hidden_states, encoder_hidden_states,
                                         img_ctx,
-                                        expand_ref_mask(ref_mask, img_ctx))
+                                        _gate_mask(ref_mask, img_ctx))
             if image_context is None:
                 collected[key] = tap
         if self.add_upsample:

@@ -61,6 +61,7 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          num_heads: int,
                          mask: Optional[jax.Array] = None,
+                         ref_mask: Optional[jax.Array] = None,
                          backend: Optional[str] = None) -> jax.Array:
     """Full MHA over pre-projection tensors.
 
@@ -68,20 +69,41 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
       q: (B, Sq, H*D)
       k, v: (B, Skv, H*D)
       mask: optional broadcastable boolean (B, 1|H, Sq, Skv), True = keep.
+      ref_mask: optional (B, N) per-reference-frame keep flags for a kv
+        made of N equal spans (attn3's kv-concat layout) — stays on the
+        flash path as a block mask when spans tile into kv blocks.
     Returns (B, Sq, H*D).
     """
     backend = backend or _DEFAULT_BACKEND
     head_dim = q.shape[-1] // num_heads
     scale = head_dim ** -0.5
     qh, kh, vh = (split_heads(t, num_heads) for t in (q, k, v))
+    sq, skv = qh.shape[2], kh.shape[2]
+
+    if ref_mask is not None and mask is None:
+        n = ref_mask.shape[1]
+        if backend in ("flash", "auto") and _on_tpu():
+            from storygen_tpu.ops.pallas_attention import (
+                flash_attention, flash_supported, ref_mask_block_k)
+            bk = ref_mask_block_k(skv, n)
+            if bk is not None and flash_supported(sq, skv, has_mask=False):
+                span_blocks = (skv // n) // bk
+                block_mask = jnp.repeat(ref_mask.astype(jnp.float32),
+                                        span_blocks, axis=1)
+                out = flash_attention(qh, kh, vh, scale=scale, block_k=bk,
+                                      block_mask=block_mask)
+                return merge_heads(out)
+        # fallback: expand to an elementwise kv mask for the XLA path
+        mask = jnp.repeat(ref_mask.astype(bool), skv // n,
+                          axis=1)[:, None, None, :]
+
     use_flash = False
     if backend in ("flash", "auto") and _on_tpu():
         from storygen_tpu.ops.pallas_attention import flash_supported
         if backend == "flash":
             use_flash = mask is None
         else:
-            use_flash = flash_supported(qh.shape[2], kh.shape[2],
-                                        has_mask=mask is not None)
+            use_flash = flash_supported(sq, skv, has_mask=mask is not None)
     if use_flash:
         from storygen_tpu.ops.pallas_attention import flash_attention
         out = flash_attention(qh, kh, vh, scale=scale)

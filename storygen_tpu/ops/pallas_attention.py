@@ -17,9 +17,20 @@ Kernel shape notes (v5e):
 - fp32 running max/sum/accumulator; bf16 MXU matmuls.
 - head_dim 40/80/160 (SD-1.5 widths / 8 heads) ride in a padded 128/256
   lane layout chosen by Mosaic; the contraction dim does not need padding.
+- bq=512, bk=1024 from an on-device sweep (scripts/profile_unet.py).
+
+Reference-frame masking: training uses a random subset of the 3 reference
+frames (train_StorySalon_stage2.py:306-318). Each ref owns a contiguous
+kv span, so the mask is constant per kv block — passed as a per-(batch,
+kv-block) scalar table, applied as an additive -inf before the online
+softmax. This keeps the masked attn3 on the flash path (no logits in HBM)
+in both training and serving.
+
+Differentiable: custom VJP with a q-chunked lax.scan recompute backward —
+peak live logits (B, H, 512, Skv) instead of (B, H, Sq, Skv).
 
 Used automatically by ops/attention.multi_head_attention when shapes
-qualify (no mask, block-divisible, big enough to be bandwidth-bound).
+qualify.
 """
 from __future__ import annotations
 
@@ -35,7 +46,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                  scale: float, num_kv_blocks: int):
+                  scale: float, num_kv_blocks: int, mask_ref=None):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -51,6 +62,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (BQ, BK) fp32
+    if mask_ref is not None:
+        # whole-block keep/drop flag: +0 when kept, -inf when dropped
+        s = s + (mask_ref[0, 0] - 1.0) * (-NEG_INF)
 
     m_prev = m_ref[:, :1]                      # (BQ, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -68,7 +82,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
     @pl.when(ki == num_kv_blocks - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:]
+                    / jnp.maximum(l_ref[:, :1], 1e-20)).astype(o_ref.dtype)
+
+
+def _masked_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
+                   l_ref, *, scale: float, num_kv_blocks: int):
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                  scale=scale, num_kv_blocks=num_kv_blocks,
+                  mask_ref=mask_ref)
 
 
 def _pick_block(size: int, preferred: int) -> Optional[int]:
@@ -81,22 +103,13 @@ def _pick_block(size: int, preferred: int) -> Optional[int]:
     return None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnames=("scale", "block_q",
-                                                     "block_k", "interpret"))
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    scale: float = 1.0, block_q: int = 512,
-                    block_k: int = 1024,
-                    interpret: bool = False) -> jax.Array:
-    """Fused attention over (B, H, S, D) tensors (no mask).
-
-    Requires Sq % block_q == 0 and Skv % block_k == 0 after block
-    auto-shrink; callers should gate with `flash_supported`.
-
-    Differentiable: the custom VJP recomputes attention with the XLA
-    einsum formulation for the backward pass (flash forward keeps serving
-    fast; training backward materializes logits — a dedicated backward
-    kernel is the next optimization).
-    """
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnames=("scale", "block_q", "block_k",
+                                     "interpret", "masked"))
+def _flash_core(q, k, v, block_mask, scale, block_q, block_k, interpret,
+                masked):
+    """block_mask: (B, num_kv_blocks) float32 (1 keep / 0 drop); a (1, 1)
+    dummy when masked=False."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
     bq = _pick_block(sq, block_q)
@@ -108,17 +121,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
     num_kv_blocks = skv // bk
-
     grid = (b * h, sq // bq, num_kv_blocks)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale,
-                          num_kv_blocks=num_kv_blocks),
+
+    qspec = pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0))
+    kvspec = pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0))
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
-        ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
         scratch_shapes=[
@@ -127,28 +135,58 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             pltpu.VMEM((bq, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, kf, vf)
+    )
+    if masked:
+        # (B, nk) -> (B*H, nk) so the mask block indexes by grid i directly
+        bm = jnp.broadcast_to(
+            block_mask.astype(jnp.float32)[:, None, :],
+            (b, h, num_kv_blocks)).reshape(b * h, num_kv_blocks)
+        out = pl.pallas_call(
+            functools.partial(_masked_kernel, scale=scale,
+                              num_kv_blocks=num_kv_blocks),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, j, kk: (i, kk),
+                             memory_space=pltpu.SMEM),
+                qspec, kvspec, kvspec,
+            ],
+            **common,
+        )(bm, qf, kf, vf)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, scale=scale,
+                              num_kv_blocks=num_kv_blocks),
+            in_specs=[qspec, kvspec, kvspec],
+            **common,
+        )(qf, kf, vf)
     return out.reshape(b, h, sq, d)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    out = flash_attention(q, k, v, scale=scale, block_q=block_q,
-                          block_k=block_k, interpret=interpret)
-    return out, (q, k, v)
+def _core_fwd(q, k, v, block_mask, scale, block_q, block_k, interpret,
+              masked):
+    out = _flash_core(q, k, v, block_mask, scale, block_q, block_k,
+                      interpret, masked)
+    return out, (q, k, v, block_mask)
 
 
-def _flash_bwd(scale, block_q, block_k, interpret, res, g):
+def _core_bwd(scale, block_q, block_k, interpret, masked, res, g):
     """Memory-bounded backward: the standard attention gradient
     (dV = P^T g; dP = g V^T; dS = P (dP - rowsum(dP P)); dQ = dS K s;
     dK = dS^T Q s) recomputed in q-chunks under lax.scan, so the peak
     live logits buffer is (B, H, CHUNK, Skv) instead of (B, H, Sq, Skv).
     fp32 softmax statistics; bf16 matmul inputs."""
-    q, k, v = res
+    q, k, v, block_mask = res
     b, h, sq, d = q.shape
+    skv = k.shape[2]
     chunk = min(512, sq)
     n_chunks = sq // chunk
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
+    if masked:
+        bk = skv // block_mask.shape[1]
+        kv_mask = jnp.repeat(block_mask.astype(jnp.float32), bk, axis=1)
+        bias = (kv_mask - 1.0)[:, None, None, :] * (-NEG_INF)  # (B,1,1,K)
+    else:
+        bias = None
 
     q_c = q.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
     g_c = g.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
@@ -160,6 +198,8 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
         gcf = gc.astype(jnp.float32)
         s = jnp.einsum("bhqd,bhkd->bhqk", qcf, kf,
                        preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            s = s + bias
         p = jax.nn.softmax(s, axis=-1)
         dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, gcf)
         dp = jnp.einsum("bhqd,bhkd->bhqk", gcf, vf)
@@ -171,16 +211,44 @@ def _flash_bwd(scale, block_q, block_k, interpret, res, g):
     zeros = jnp.zeros(k.shape, jnp.float32)
     (dk, dv), dq_chunks = jax.lax.scan(body, (zeros, zeros), (q_c, g_c))
     dq = dq_chunks.transpose(1, 2, 0, 3, 4).reshape(b, h, sq, d)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(res[3]))
 
 
-flash_attention.defvjp(_flash_fwd, _flash_bwd)
+_flash_core.defvjp(_core_fwd, _core_bwd)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    scale: float = 1.0, block_q: int = 512,
+                    block_k: int = 1024, interpret: bool = False,
+                    block_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Fused attention over (B, H, S, D) tensors.
+
+    block_mask: optional (B, Skv // block_k) keep-flags (bool/0-1); each
+    kv block is wholly kept or dropped (the ref-frame mask granularity).
+    Requires Sq % block_q == 0 and Skv % block_k == 0 after auto-shrink;
+    gate with `flash_supported` / `ref_mask_block_k`.
+    """
+    masked = block_mask is not None
+    if not masked:
+        block_mask = jnp.ones((1, 1), jnp.float32)
+    else:
+        skv = k.shape[2]
+        bk = _pick_block(skv, block_k)
+        if bk is None or skv // bk != block_mask.shape[1]:
+            raise ValueError(
+                f"block_mask has {block_mask.shape[1]} blocks but kv len "
+                f"{skv} tiles into {None if bk is None else skv // bk}")
+    return _flash_core(q, k, v, block_mask.astype(jnp.float32), scale,
+                       block_q, block_k, interpret, masked)
 
 
 def flash_supported(sq: int, skv: int, has_mask: bool,
                     min_flops: int = 1 << 20) -> bool:
     """Flash pays off when the logits matrix is big enough to be
-    HBM-bound and blocks divide the sequence lengths.
+    HBM-bound and blocks divide the sequence lengths. `has_mask` refers to
+    arbitrary elementwise masks (not block-aligned ref masks, which stay
+    on the flash path via `block_mask`).
 
     Threshold from v5e measurements (scripts/profile_unet.py, bq=512
     bk=1024): 4096x4096 1.75x, 4096x12288 2.5x, 1024x3072 1.25x,
@@ -191,3 +259,12 @@ def flash_supported(sq: int, skv: int, has_mask: bool,
         return False
     return (_pick_block(sq, 512) is not None
             and _pick_block(skv, 1024) is not None)
+
+
+def ref_mask_block_k(skv: int, num_refs: int) -> Optional[int]:
+    """Pick a kv block size that tiles each reference's span exactly, so a
+    per-ref mask is constant per block. None if not representable."""
+    if skv % num_refs:
+        return None
+    span = skv // num_refs
+    return _pick_block(span, 1024)

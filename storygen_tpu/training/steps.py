@@ -112,10 +112,16 @@ def make_train_step(unet, vae, text_encoder, sched: S.NoiseSchedule,
         if use_refs:
             n = num_refs
             ref_imgs = batch["ref_images"]
-            flat_imgs = ref_imgs.reshape((n * b,) + ref_imgs.shape[2:])
-            ref_lat = vae.apply(frozen.vae, flat_imgs,
-                                method=vae.encode).sample(ks[3]) * sf
-            ref_lat = ref_lat.reshape((n, b) + ref_lat.shape[1:])
+            # encode refs one ref-group at a time (lax.map): a single
+            # (N*B, 512, 512, 128) VAE activation would dominate HBM
+            ref_keys = jax.random.split(ks[3], n)
+
+            def enc(args):
+                imgs, key = args
+                return vae.apply(frozen.vae, imgs,
+                                 method=vae.encode).sample(key) * sf
+
+            ref_lat = jax.lax.map(enc, (ref_imgs, ref_keys))
             ref_noise = jax.random.normal(ks[4], latents.shape,
                                           latents.dtype)
             ref_t = t // 10  # train_StorySalon_stage2.py:295-297

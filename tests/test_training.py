@@ -153,7 +153,9 @@ def test_data_parallel_8_devices(models):
     single = jax.jit(step)(state, frozen, batch, jax.random.PRNGKey(2))
 
     mesh = M.make_mesh(8)
-    state_r = M.replicate(state, mesh)
+    # jit_train_step donates the state; replicate may alias the fixture's
+    # buffers, so hand it an explicit copy
+    state_r = M.replicate(jax.tree.map(jnp.copy, state), mesh)
     frozen_r = M.replicate(frozen, mesh)
     batch_s = M.shard_batch(batch, mesh)
     dp_step = M.jit_train_step(step, mesh)
