@@ -63,8 +63,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (BQ, BK) fp32
     if mask_ref is not None:
-        # whole-block keep/drop flag: +0 when kept, -inf when dropped
-        s = s + (mask_ref[0, 0] - 1.0) * (-NEG_INF)
+        # whole-block keep/drop flag: +0 when kept, -inf when dropped.
+        # mask lives unblocked in SMEM: index by (batch*head, kv block).
+        mb = mask_ref[pl.program_id(0), ki]
+        s = s + (mb - 1.0) * (-NEG_INF)
 
     m_prev = m_ref[:, :1]                      # (BQ, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -145,8 +147,7 @@ def _flash_core(q, k, v, block_mask, scale, block_q, block_k, interpret,
             functools.partial(_masked_kernel, scale=scale,
                               num_kv_blocks=num_kv_blocks),
             in_specs=[
-                pl.BlockSpec((1, 1), lambda i, j, kk: (i, kk),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B*H, nk)
                 qspec, kvspec, kvspec,
             ],
             **common,

@@ -82,3 +82,43 @@ def test_flash_is_differentiable():
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-3)
+
+
+def test_block_mask_matches_xla_ref_mask():
+    """Flash block mask == XLA elementwise ref mask (interpret mode)."""
+    rng = np.random.RandomState(4)
+    b, h, sq, d, n = 2, 2, 128, 16, 2
+    skv = 256  # 2 refs x 128 span
+    q = jnp.asarray(rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    scale = 0.25
+    ref_mask = jnp.asarray([[True, False], [True, True]])
+    # flash with block mask (bk=128 tiles each 128-wide ref span)
+    bm = ref_mask.astype(jnp.float32)
+    out = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128,
+                          interpret=True, block_mask=bm)
+    kv_mask = jnp.repeat(ref_mask, skv // n, axis=1)[:, None, None, :]
+    expected = xla_attention(q, k, v, scale, mask=kv_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_block_mask_gradients_match():
+    rng = np.random.RandomState(5)
+    b, h, sq, d = 1, 2, 128, 16
+    skv = 256
+    q = jnp.asarray(rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    bm = jnp.asarray([[1.0, 0.0]])
+    kv_mask = jnp.repeat(bm.astype(bool), 128, axis=1)[:, None, None, :]
+
+    gf = jax.grad(lambda q, k, v: jnp.sum(flash_attention(
+        q, k, v, scale=0.25, block_q=128, block_k=128, interpret=True,
+        block_mask=bm) ** 2), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(xla_attention(
+        q, k, v, 0.25, mask=kv_mask) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3,
+                                   atol=2e-3)
