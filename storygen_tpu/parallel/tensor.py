@@ -1,0 +1,98 @@
+"""Tensor parallelism for the StoryGen UNet over a ("data", "tensor") mesh.
+
+The reference has no tensor parallelism (SURVEY.md §2.4) — the model fits
+one chip. TP is this framework's extension for *latency*: a single story
+frame's UNet passes shard across chips, cutting p50 per-story latency on a
+v5e-8 where pure data parallelism only helps throughput.
+
+Design (Megatron-style column/row split, GSPMD execution):
+- attention q/k/v projection kernels (C, H*D): column-split -> heads shard
+  across "tensor"; output projection (H*D, C): row-split, XLA inserts the
+  psum.
+- feed-forward GEGLU in-projection (C, 2*inner): column-split; out
+  projection (inner, C): row-split + psum.
+- resnet conv1 HWIO: output-channel split; conv2: input-channel split +
+  psum; the GroupNorm between them stays local because SD-1.5 group
+  boundaries align with the shards (C/shards is a multiple of the group
+  size for 320/640/1280 over <=8 shards); its scale/bias shard with the
+  channels, as does the time-embedding projection.
+- everything else (embeddings, conv_in/out, norms on replicated
+  activations) replicated.
+
+No hand-written collectives: the specs below are placement constraints;
+pjit/GSPMD propagates shardings and inserts all-reduces over ICI.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+TENSOR_AXIS = "tensor"
+
+
+def make_tp_mesh(data: int, tensor: int,
+                 devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:data * tensor]).reshape(data, tensor)
+    return Mesh(devices, (DATA_AXIS, TENSOR_AXIS))
+
+
+def unet_param_spec(path: Tuple[str, ...], shape: Tuple[int, ...]) -> P:
+    """PartitionSpec for one UNet parameter (path of flax name segments)."""
+    name = path[-2] if len(path) >= 2 else ""
+    leaf = path[-1]
+    in_attn = any(seg.startswith("attn") for seg in path)
+    in_ff = "ff" in path
+
+    if in_attn:
+        if name in ("to_q", "to_k", "to_v"):
+            return P(None, TENSOR_AXIS) if leaf == "kernel" else P(TENSOR_AXIS)
+        if name == "to_out_0":
+            return P(TENSOR_AXIS, None) if leaf == "kernel" else P()
+    if in_ff:
+        if name == "proj":  # GEGLU packed (C, 2*inner)
+            return P(None, TENSOR_AXIS) if leaf == "kernel" else P(TENSOR_AXIS)
+        if name == "net_2":
+            return P(TENSOR_AXIS, None) if leaf == "kernel" else P()
+    if name == "conv1":
+        # HWIO: shard output channels
+        return P(None, None, None, TENSOR_AXIS) if leaf == "kernel" \
+            else P(TENSOR_AXIS)
+    if name == "conv2":
+        # HWIO: shard input channels; psum restores the output
+        return P(None, None, TENSOR_AXIS, None) if leaf == "kernel" else P()
+    if name == "time_emb_proj":
+        return P(None, TENSOR_AXIS) if leaf == "kernel" else P(TENSOR_AXIS)
+    if name == "norm2" and "resnets" not in "".join(path):
+        return P()
+    # GroupNorm between conv1 and conv2 (resnet norm2): channel-sharded
+    if leaf in ("scale", "bias") and len(path) >= 2 and \
+            path[-2] == "norm2" and any("resnets" in seg for seg in path):
+        return P(TENSOR_AXIS)
+    return P()
+
+
+def shard_unet_params(params: Any, mesh: Mesh) -> Any:
+    """Place UNet params on the mesh per unet_param_spec."""
+    flat = flatten_dict(params["params"])
+    out = {}
+    for path, w in flat.items():
+        spec = unet_param_spec(path, np.shape(w))
+        # guard: axis size must divide the sharded dim
+        ts = mesh.shape[TENSOR_AXIS]
+        ok = all(d is None or np.shape(w)[i] % ts == 0
+                 for i, d in enumerate(spec))
+        sh = NamedSharding(mesh, spec if ok else P())
+        out[path] = jax.device_put(w, sh)
+    return {"params": unflatten_dict(out)}
+
+
+def replicated_on(mesh: Mesh, tree: Any) -> Any:
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
