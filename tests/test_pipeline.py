@@ -132,3 +132,26 @@ def test_encode_ref_latents_shape(setup):
     z = sampler.encode_ref_latents(params["vae"], imgs,
                                    jax.random.PRNGKey(7))
     assert z.shape == (3, 2, LAT, LAT, 4)
+
+
+def test_ref_feature_interval(setup):
+    """interval=1 is the exact path; interval=2 runs, differs, stays finite."""
+    sampler, params = setup
+    b, n = 1, 3
+    rngs = jax.random.split(jax.random.PRNGKey(11), 4)
+    lat = jax.random.normal(rngs[0], (b, LAT, LAT, 4))
+    refs = jax.random.normal(rngs[1], (n, b, LAT, LAT, 4)) * 0.2
+    zero = jnp.zeros((b, LAT, LAT, 4))
+    noise = jax.random.normal(rngs[3], (b, LAT, LAT, 4))
+    prev_u = jnp.stack([_text(b, 30 + i) for i in range(n)])
+    prev_c = jnp.stack([_text(b, 40 + i) for i in range(n)])
+    kw = dict(stage="auto-regressive", num_inference_steps=4)
+    args = (params, lat, _text(b, 1), _text(b, 2), refs, zero, prev_u,
+            prev_c, noise, jnp.asarray(7.0), jnp.asarray(3.5))
+    exact = sampler.sample(*args, **kw)
+    exact_explicit = sampler.sample(*args, ref_feature_interval=1, **kw)
+    np.testing.assert_array_equal(np.asarray(exact),
+                                  np.asarray(exact_explicit))
+    cached = sampler.sample(*args, ref_feature_interval=2, **kw)
+    assert np.isfinite(np.asarray(cached)).all()
+    assert not np.allclose(np.asarray(cached), np.asarray(exact))
