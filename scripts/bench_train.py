@@ -14,7 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--remat", action="store_true", default=True)
+    ap.add_argument("--remat", dest="remat", action="store_true",
+                    default=True)
+    ap.add_argument("--no-remat", dest="remat", action="store_false")
+    ap.add_argument("--attn", default="auto", choices=["auto", "xla"])
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -33,6 +36,8 @@ def main():
     from storygen_tpu.models.unet import UNet2DConditionModel
     from storygen_tpu.models.vae import AutoencoderKL
     from storygen_tpu.training import optim, steps
+    from storygen_tpu.ops.attention import set_default_backend
+    set_default_backend(args.attn)
 
     rng = jax.random.PRNGKey(0)
     dtype = jnp.bfloat16
@@ -78,7 +83,8 @@ def main():
         state, m = step(state, frozen, batch, jax.random.PRNGKey(2 + i))
     jax.device_get(m["loss"])
     dt = (time.perf_counter() - t0) / args.iters
-    print(f"stage2 train step: batch {b}, {dt*1e3:.0f} ms/step, "
+    print(f"stage2 train step: batch {b} remat={args.remat} "
+          f"attn={args.attn}: {dt*1e3:.0f} ms/step, "
           f"{b/dt:.2f} samples/s/chip, loss={float(m['loss']):.4f}")
 
 

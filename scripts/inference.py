@@ -25,7 +25,9 @@ def main():
     ap.add_argument("--stage", default="auto-regressive",
                     choices=["no", "multi-image-condition",
                              "auto-regressive"])
-    ap.add_argument("--prompt", required=True)
+    ap.add_argument("--prompt", required=True, nargs="+",
+                    help="one caption = single frame; several = full "
+                         "autoregressive story rollout")
     ap.add_argument("--ref_image", nargs="*", default=[])
     ap.add_argument("--ref_prompt", nargs="*", default=[])
     ap.add_argument("--num_inference_steps", type=int, default=40)
@@ -34,6 +36,7 @@ def main():
     ap.add_argument("--num_sample_per_prompt", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++"])
     args = ap.parse_args()
 
     import jax
@@ -62,14 +65,31 @@ def main():
         refs = np.stack(imgs)[:, None]  # (N, B=1, H, W, 3)
 
     os.makedirs(args.logdir, exist_ok=True)
+    if len(args.prompt) > 1:
+        # multi-frame story rollout (each frame conditions on the
+        # previous ones through the VLCM)
+        first = refs[0, 0] / 1.0 if refs is not None else None
+        frames = pipe.generate_story(
+            args.prompt, first_frame=first,
+            first_caption=args.ref_prompt[0] if args.ref_prompt else None,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            image_guidance_scale=args.image_guidance_scale,
+            sampler=args.sampler)
+        for i, f in enumerate(frames):
+            Image.fromarray((f * 255).astype(np.uint8)).save(
+                os.path.join(args.logdir, f"story_frame{i}.png"))
+        print(f"saved {len(frames)}-frame story")
+        return
     for s in range(args.num_sample_per_prompt):
-        out = pipe(stage=args.stage, prompt=[args.prompt],
+        out = pipe(stage=args.stage, prompt=args.prompt,
                    image_prompt=refs,
                    prev_prompt=[[p] for p in args.ref_prompt] or None,
                    num_inference_steps=args.num_inference_steps,
                    guidance_scale=args.guidance_scale,
                    image_guidance_scale=args.image_guidance_scale,
-                   rng=jax.random.PRNGKey(args.seed + s))
+                   rng=jax.random.PRNGKey(args.seed + s),
+                   sampler=args.sampler)
         img = (out[0] * 255).astype(np.uint8)
         Image.fromarray(img).save(
             os.path.join(args.logdir, f"{args.seed + s}_output.png"))
