@@ -162,14 +162,219 @@ def _flash_core(q, k, v, block_mask, scale, block_q, block_k, interpret,
     return out.reshape(b, h, sq, d)
 
 
+# ---------------------------------------------------------------- backward
+# Dedicated flash backward kernels. All logit-space math runs TRANSPOSED
+# ((BK, BQ) instead of (BQ, BK)) so the per-q-row logsumexp and delta
+# scalars live on the LANE axis as (1, BQ) rows — native sublane broadcast,
+# no in-kernel relayouts. Toggle PALLAS_BACKWARD=False to fall back to the
+# q-chunked XLA recompute.
+
+PALLAS_BACKWARD = True
+
+
+def _lse_kernel(q_ref, k_ref, lse_ref, m_ref, l_ref, *, scale: float,
+                num_kv_blocks: int, mask_smem=None):
+    """Recompute the forward row logsumexp, transposed: grid
+    (BH, nq, nk); lse output block (1, BQ) on lanes."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    k = k_ref[0]
+    q = q_ref[0]
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BK, BQ)
+    if mask_smem is not None:
+        s_t = s_t + (mask_smem[pl.program_id(0), ki] - 1.0) * (-NEG_INF)
+    m_prev = m_ref[:1, :]                       # (1, BQ)
+    m_new = jnp.maximum(m_prev, jnp.max(s_t, axis=0, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_ref[:1, :] * alpha + jnp.sum(jnp.exp(s_t - m_new), axis=0,
+                                           keepdims=True)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _fin():
+        lse_ref[:1, :] = m_new + jnp.log(jnp.maximum(l_new, 1e-30))
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               acc_ref, *, scale: float, num_kv_blocks: int,
+               mask_smem=None):
+    """dQ = scale * sum_k dS; grid (BH, nq, nk), kv innermost."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BK, BQ)
+    if mask_smem is not None:
+        s_t = s_t + (mask_smem[pl.program_id(0), ki] - 1.0) * (-NEG_INF)
+    p_t = jnp.exp(s_t - lse_ref[:1, :])               # (BK, BQ)
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (BK, BQ)
+    ds_t = p_t * (dp_t - delta_ref[:1, :])
+    # dq += ds^T @ k: contract the BK axis of both operands
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        ds_t.astype(k.dtype), k, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (BQ, D)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _fin():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, dk_ref,
+                dv_ref, dk_acc, dv_acc, *, scale: float,
+                num_q_blocks: int, mask_smem=None):
+    """dK/dV accumulated over q blocks; grid (BH, nk, nq), q innermost."""
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0]
+    v = v_ref[0]
+    q = q_ref[0]
+    do = do_ref[0]
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BK, BQ)
+    if mask_smem is not None:
+        s_t = s_t + (mask_smem[pl.program_id(0),
+                               pl.program_id(1)] - 1.0) * (-NEG_INF)
+    p_t = jnp.exp(s_t - lse_ref[:1, :])
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BK, D)
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds_t = p_t * (dp_t - delta_ref[:1, :])
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BK, D)
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _fin():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _pallas_bwd_with_out(q, k, v, block_mask, out, g, scale, bq, bk,
+                         interpret, masked):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    bh = b * h
+    nq, nk = sq // bq, skv // bk
+    qf = q.reshape(bh, sq, d)
+    kf = k.reshape(bh, skv, d)
+    vf = v.reshape(bh, skv, d)
+    gf = g.reshape(bh, sq, d)
+    delta = jnp.sum(gf.astype(jnp.float32) * out.reshape(bh, sq, d)
+                    .astype(jnp.float32), axis=-1)  # (BH, Sq)
+
+    mask_args, mask_specs = (), ()
+    if masked:
+        bm = jnp.broadcast_to(block_mask.astype(jnp.float32)[:, None, :],
+                              (b, h, nk)).reshape(bh, nk)
+        mask_args = (bm,)
+        mask_specs = (pl.BlockSpec(memory_space=pltpu.SMEM),)
+
+    def with_mask(kernel, **kw):
+        if masked:
+            def wrapped(m, *refs, _k=kernel, **kw2):
+                return _k(*refs, mask_smem=m, **kw2)
+            return functools.partial(wrapped, **kw)
+        return functools.partial(kernel, **kw)
+
+    qspec_j = pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0))
+    kvspec_kk = pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0))
+    kvspec_j = pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, j, 0))
+    qspec_kk = pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, kk, 0))
+    row_j = pl.BlockSpec((1, bq), lambda i, j, kk: (i, j))
+    row_kk = pl.BlockSpec((1, bq), lambda i, j, kk: (i, kk))
+
+    # 1. recompute forward logsumexp (transposed layout)
+    lse = pl.pallas_call(
+        with_mask(_lse_kernel, scale=scale, num_kv_blocks=nk),
+        grid=(bh, nq, nk),
+        in_specs=[*mask_specs, qspec_j, kvspec_kk],
+        out_specs=row_j,
+        out_shape=jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, bq), jnp.float32),
+                        pltpu.VMEM((8, bq), jnp.float32)],
+        interpret=interpret,
+    )(*mask_args, qf, kf)
+
+    # 2. dQ
+    dq = pl.pallas_call(
+        with_mask(_dq_kernel, scale=scale, num_kv_blocks=nk),
+        grid=(bh, nq, nk),
+        in_specs=[*mask_specs, qspec_j, kvspec_kk, kvspec_kk, qspec_j,
+                  row_j, row_j],
+        out_specs=qspec_j,
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        interpret=interpret,
+    )(*mask_args, qf, kf, vf, gf, lse, delta)
+
+    # 3. dK, dV
+    dk, dv = pl.pallas_call(
+        with_mask(_dkv_kernel, scale=scale, num_q_blocks=nq),
+        grid=(bh, nk, nq),
+        in_specs=[*mask_specs, kvspec_j, kvspec_j, qspec_kk, qspec_kk,
+                  row_kk, row_kk],
+        out_specs=(kvspec_j, kvspec_j),
+        out_shape=(jax.ShapeDtypeStruct((bh, skv, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, skv, d), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                        pltpu.VMEM((bk, d), jnp.float32)],
+        interpret=interpret,
+    )(*mask_args, kf, vf, qf, gf, lse, delta)
+
+    shape4 = (b, h, sq, d)
+    return (dq.reshape(shape4), dk.reshape(b, h, skv, d),
+            dv.reshape(b, h, skv, d))
+
+
 def _core_fwd(q, k, v, block_mask, scale, block_q, block_k, interpret,
               masked):
     out = _flash_core(q, k, v, block_mask, scale, block_q, block_k,
                       interpret, masked)
-    return out, (q, k, v, block_mask)
+    return out, (q, k, v, block_mask, out)
 
 
 def _core_bwd(scale, block_q, block_k, interpret, masked, res, g):
+    """Flash backward: dedicated Pallas kernels (PALLAS_BACKWARD) or a
+    q-chunked XLA recompute fallback (peak live logits (B, H, 512, Skv))."""
+    q, k, v, block_mask, out = res
+    if PALLAS_BACKWARD:
+        bq = _pick_block(q.shape[2], block_q)
+        bk = _pick_block(k.shape[2], block_k)
+        dq, dk, dv = _pallas_bwd_with_out(q, k, v, block_mask, out, g,
+                                          scale, bq, bk, interpret, masked)
+        return dq, dk, dv, jnp.zeros_like(block_mask)
+    return _xla_chunked_bwd(scale, block_q, block_k, interpret, masked,
+                            (q, k, v, block_mask), g)
+
+
+def _xla_chunked_bwd(scale, block_q, block_k, interpret, masked, res, g):
     """Memory-bounded backward: the standard attention gradient
     (dV = P^T g; dP = g V^T; dS = P (dP - rowsum(dP P)); dQ = dS K s;
     dK = dS^T Q s) recomputed in q-chunks under lax.scan, so the peak
