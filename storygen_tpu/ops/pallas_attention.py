@@ -200,7 +200,8 @@ def _lse_kernel(q_ref, k_ref, lse_ref, m_ref, l_ref, *, scale: float,
 
     @pl.when(ki == num_kv_blocks - 1)
     def _fin():
-        lse_ref[:1, :] = m_new + jnp.log(jnp.maximum(l_new, 1e-30))
+        lse = m_new + jnp.log(jnp.maximum(l_new, 1e-30))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
@@ -222,11 +223,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         preferred_element_type=jnp.float32) * scale  # (BK, BQ)
     if mask_smem is not None:
         s_t = s_t + (mask_smem[pl.program_id(0), ki] - 1.0) * (-NEG_INF)
-    p_t = jnp.exp(s_t - lse_ref[:1, :])               # (BK, BQ)
+    p_t = jnp.exp(s_t - lse_ref[0, 0, :1, :])         # (BK, BQ)
     dp_t = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # (BK, BQ)
-    ds_t = p_t * (dp_t - delta_ref[:1, :])
+    ds_t = p_t * (dp_t - delta_ref[0, 0, :1, :])
     # dq += ds^T @ k: contract the BK axis of both operands
     acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
         ds_t.astype(k.dtype), k, (((0,), (0,)), ((), ())),
@@ -258,14 +259,14 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, dk_ref,
     if mask_smem is not None:
         s_t = s_t + (mask_smem[pl.program_id(0),
                                pl.program_id(1)] - 1.0) * (-NEG_INF)
-    p_t = jnp.exp(s_t - lse_ref[:1, :])
+    p_t = jnp.exp(s_t - lse_ref[0, 0, :1, :])
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
         p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # (BK, D)
     dp_t = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds_t = p_t * (dp_t - delta_ref[:1, :])
+    ds_t = p_t * (dp_t - delta_ref[0, 0, :1, :])
     dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
         ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # (BK, D)
@@ -288,6 +289,10 @@ def _pallas_bwd_with_out(q, k, v, block_mask, out, g, scale, bq, bk,
     gf = g.reshape(bh, sq, d)
     delta = jnp.sum(gf.astype(jnp.float32) * out.reshape(bh, sq, d)
                     .astype(jnp.float32), axis=-1)  # (BH, Sq)
+    # Mosaic tiling wants (sublane, lane) block dims divisible by (8, 128):
+    # carry per-row scalars as (BH, nq, 8, BQ) sublane-replicated tiles
+    delta = jnp.broadcast_to(
+        delta.reshape(bh, sq // bq, 1, bq), (bh, sq // bq, 8, bq))
 
     mask_args, mask_specs = (), ()
     if masked:
@@ -307,8 +312,8 @@ def _pallas_bwd_with_out(q, k, v, block_mask, out, g, scale, bq, bk,
     kvspec_kk = pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0))
     kvspec_j = pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, j, 0))
     qspec_kk = pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, kk, 0))
-    row_j = pl.BlockSpec((1, bq), lambda i, j, kk: (i, j))
-    row_kk = pl.BlockSpec((1, bq), lambda i, j, kk: (i, kk))
+    row_j = pl.BlockSpec((1, 1, 8, bq), lambda i, j, kk: (i, j, 0, 0))
+    row_kk = pl.BlockSpec((1, 1, 8, bq), lambda i, j, kk: (i, kk, 0, 0))
 
     # 1. recompute forward logsumexp (transposed layout)
     lse = pl.pallas_call(
@@ -316,7 +321,7 @@ def _pallas_bwd_with_out(q, k, v, block_mask, out, g, scale, bq, bk,
         grid=(bh, nq, nk),
         in_specs=[*mask_specs, qspec_j, kvspec_kk],
         out_specs=row_j,
-        out_shape=jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, 8, bq), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, bq), jnp.float32),
                         pltpu.VMEM((8, bq), jnp.float32)],
         interpret=interpret,
