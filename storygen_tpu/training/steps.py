@@ -88,18 +88,33 @@ def make_train_step(unet, vae, text_encoder, sched: S.NoiseSchedule,
       input_ids: (B, 77) int32
       ref_images: (N, B, H, W, 3) (stages with refs)
       ref_input_ids: (N, B, 77)
+
+    Precomputed-latent mode (scripts/precompute_latents.py): pass
+    `latent_moments` (B, h, w, 8) and `ref_latent_moments` (N, B, h, w, 8)
+    instead of image/ref_images — the step samples the VAE posterior from
+    the stored (mean, logvar) and skips the encoders entirely (the
+    reference re-encodes every step, train_StorySalon_stage2.py:273-288).
     """
     use_refs = stage != "stage1"
     sf = vae.config.scaling_factor
 
+    def _sample_moments(moments: jax.Array, key: jax.Array) -> jax.Array:
+        from storygen_tpu.models.vae import DiagonalGaussian
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return DiagonalGaussian(mean, jnp.clip(logvar, -30.0, 20.0)
+                                ).sample(key) * sf
+
     def step_fn(state: TrainState, frozen: FrozenBundle, batch: Dict,
                 rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
         ks = jax.random.split(rng, 6)
-        b = batch["image"].shape[0]
 
         # --- frozen encoders -------------------------------------------
-        latents = vae.apply(frozen.vae, batch["image"],
-                            method=vae.encode).sample(ks[0]) * sf
+        if "latent_moments" in batch:
+            latents = _sample_moments(batch["latent_moments"], ks[0])
+        else:
+            latents = vae.apply(frozen.vae, batch["image"],
+                                method=vae.encode).sample(ks[0]) * sf
+        b = latents.shape[0]
         text = text_encoder.apply(frozen.text, batch["input_ids"])
 
         noise = jax.random.normal(ks[1], latents.shape, latents.dtype)
@@ -111,17 +126,21 @@ def make_train_step(unet, vae, text_encoder, sched: S.NoiseSchedule,
         ref_mask = None
         if use_refs:
             n = num_refs
-            ref_imgs = batch["ref_images"]
-            # encode refs one ref-group at a time (lax.map): a single
-            # (N*B, 512, 512, 128) VAE activation would dominate HBM
             ref_keys = jax.random.split(ks[3], n)
+            if "ref_latent_moments" in batch:
+                ref_lat = jax.vmap(_sample_moments)(
+                    batch["ref_latent_moments"], ref_keys)
+            else:
+                ref_imgs = batch["ref_images"]
 
-            def enc(args):
-                imgs, key = args
-                return vae.apply(frozen.vae, imgs,
-                                 method=vae.encode).sample(key) * sf
+                # encode refs one ref-group at a time (lax.map): a single
+                # (N*B, 512, 512, 128) VAE activation would dominate HBM
+                def enc(args):
+                    imgs, key = args
+                    return vae.apply(frozen.vae, imgs,
+                                     method=vae.encode).sample(key) * sf
 
-            ref_lat = jax.lax.map(enc, (ref_imgs, ref_keys))
+                ref_lat = jax.lax.map(enc, (ref_imgs, ref_keys))
             ref_noise = jax.random.normal(ks[4], latents.shape,
                                           latents.dtype)
             ref_t = t // 10  # train_StorySalon_stage2.py:295-297

@@ -195,3 +195,25 @@ def test_data_parallel_serving(models):
                               num_inference_steps=2)
     np.testing.assert_allclose(np.asarray(dp), np.asarray(single),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_precomputed_latent_moments_path(models):
+    """Training from stored VAE posterior moments matches the image path's
+    semantics (same shapes, finite loss, trainable updates)."""
+    step, state, frozen = _setup_stage(models, "stage2")
+    rng = np.random.RandomState(7)
+    b, n, h = 2, 3, 8
+    batch = {
+        "latent_moments": jnp.asarray(rng.randn(b, h, h, 8) * 0.3,
+                                      dtype=jnp.float32),
+        "ref_latent_moments": jnp.asarray(rng.randn(n, b, h, h, 8) * 0.3,
+                                          dtype=jnp.float32),
+        "mask": jnp.asarray((rng.rand(b, IMG, IMG, 1) > 0.8), jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(0, 64, (b, 8)), jnp.int32),
+        "ref_input_ids": jnp.asarray(rng.randint(0, 64, (n, b, 8)),
+                                     jnp.int32),
+    }
+    new_state, metrics = jax.jit(step)(state, frozen, batch,
+                                       jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
