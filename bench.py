@@ -36,7 +36,8 @@ def main():
     from storygen_tpu.pipeline import StoryGenSampler
 
     rng = jax.random.PRNGKey(0)
-    b, n_refs, steps = 1, 3, 50
+    b = int(os.environ.get("BENCH_BATCH", "1"))
+    n_refs, steps = 3, 50
     hw = 64  # 512px latents
 
     unet = UNet2DConditionModel(config=UNetConfig(), dtype=jnp.bfloat16)

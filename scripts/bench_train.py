@@ -18,6 +18,8 @@ def main():
                     default=True)
     ap.add_argument("--no-remat", dest="remat", action="store_false")
     ap.add_argument("--attn", default="auto", choices=["auto", "xla"])
+    ap.add_argument("--precomputed", action="store_true",
+                    help="train from precomputed VAE latent moments")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -67,14 +69,29 @@ def main():
 
     b, img = args.batch, 512
     r = np.random.RandomState(0)
-    batch = {
-        "image": jnp.asarray(r.randn(b, img, img, 3), dtype) * 0.2,
-        "mask": jnp.asarray(r.rand(b, img, img, 1) > 0.8, jnp.float32),
-        "input_ids": jnp.asarray(r.randint(0, 49408, (b, 77)), jnp.int32),
-        "ref_images": jnp.asarray(r.randn(3, b, img, img, 3), dtype) * 0.2,
-        "ref_input_ids": jnp.asarray(r.randint(0, 49408, (3, b, 77)),
+    if args.precomputed:
+        h = img // 8
+        batch = {
+            "latent_moments": jnp.asarray(r.randn(b, h, h, 8), dtype) * 0.3,
+            "ref_latent_moments": jnp.asarray(r.randn(3, b, h, h, 8),
+                                              dtype) * 0.3,
+            "mask": jnp.asarray(r.rand(b, img, img, 1) > 0.8, jnp.float32),
+            "input_ids": jnp.asarray(r.randint(0, 49408, (b, 77)),
                                      jnp.int32),
-    }
+            "ref_input_ids": jnp.asarray(r.randint(0, 49408, (3, b, 77)),
+                                         jnp.int32),
+        }
+    else:
+        batch = {
+            "image": jnp.asarray(r.randn(b, img, img, 3), dtype) * 0.2,
+            "mask": jnp.asarray(r.rand(b, img, img, 1) > 0.8, jnp.float32),
+            "input_ids": jnp.asarray(r.randint(0, 49408, (b, 77)),
+                                     jnp.int32),
+            "ref_images": jnp.asarray(r.randn(3, b, img, img, 3),
+                                      dtype) * 0.2,
+            "ref_input_ids": jnp.asarray(r.randint(0, 49408, (3, b, 77)),
+                                         jnp.int32),
+        }
 
     state, m = step(state, frozen, batch, jax.random.PRNGKey(1))
     jax.device_get(m["loss"])
@@ -84,7 +101,8 @@ def main():
     jax.device_get(m["loss"])
     dt = (time.perf_counter() - t0) / args.iters
     print(f"stage2 train step: batch {b} remat={args.remat} "
-          f"attn={args.attn}: {dt*1e3:.0f} ms/step, "
+          f"attn={args.attn} precomputed={args.precomputed}: "
+          f"{dt*1e3:.0f} ms/step, "
           f"{b/dt:.2f} samples/s/chip, loss={float(m['loss']):.4f}")
 
 
