@@ -148,10 +148,39 @@ class StoryGenSampler:
                 def compute_ctx(_):
                     ref_t = t // 10  # pipeline.py:414 (t/10 as integer)
                     ref_ts = _ref_timesteps(stage, ref_t, num_refs)  # (N,)
-                    # (body below unchanged)
-                    # noise refs/zero-refs at their levels (one shared draw)
                     noisy_refs = S.add_noise(sched, ref_latents,
                                              noise[None], ref_ts)
+                    if stage == "multi-image-condition":
+                        # All refs share ref_t here, so the reference's N
+                        # zero-image rows are IDENTICAL — run ONE zero row
+                        # group + N ref groups ((N+1)B rows vs the
+                        # reference's 3NB). Exact.
+                        noisy_zero1 = S.add_noise(sched, zero_latents,
+                                                  noise, ref_t)
+                        stack = jnp.concatenate(
+                            [noisy_zero1[None], noisy_refs], axis=0)
+                        text_stack = jnp.concatenate(
+                            [prev_text_uncond[:1], prev_text_cond], axis=0)
+                        flat = stack.reshape(((num_refs + 1) * b,)
+                                             + stack.shape[2:])
+                        tx_flat = text_stack.reshape(
+                            ((num_refs + 1) * b,) + text_stack.shape[2:])
+                        t_flat = jnp.broadcast_to(ref_t,
+                                                  ((num_refs + 1) * b,))
+                        _, raw = unet_apply(flat, t_flat, tx_flat)
+
+                        def expand(v):
+                            g = v.reshape((num_refs + 1, b) + v.shape[1:])
+                            zero_ctx = jnp.tile(g[0], (1, num_refs, 1))
+                            ref_ctx = (g[1:].transpose(1, 0, 2, 3)
+                                       .reshape((b, num_refs * v.shape[1],
+                                                 v.shape[2])))
+                            return jnp.concatenate(
+                                [zero_ctx, ref_ctx, ref_ctx], axis=0)
+                        return {k: expand(v) for k, v in raw.items()}
+
+                    # auto-regressive: per-ref noise levels; zero rows
+                    # differ per ref, dedup only the duplicated cond row
                     noisy_zero = S.add_noise(sched,
                                              jnp.broadcast_to(
                                                  zero_latents[None],

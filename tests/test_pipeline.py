@@ -155,3 +155,58 @@ def test_ref_feature_interval(setup):
     cached = sampler.sample(*args, ref_feature_interval=2, **kw)
     assert np.isfinite(np.asarray(cached)).all()
     assert not np.allclose(np.asarray(cached), np.asarray(exact))
+
+
+def test_multi_image_zero_row_dedup_is_exact(setup):
+    """The (N+1)-group multi-image reference pass must equal the naive
+    3-rows-per-ref formulation of the reference (pipeline.py:417-443)."""
+    sampler, params = setup
+    unet = sampler.unet
+    sched = sampler.schedule
+    from storygen_tpu.diffusion import schedule as S
+
+    b, n = 1, 3
+    rngs = jax.random.split(jax.random.PRNGKey(21), 5)
+    lat = jax.random.normal(rngs[0], (b, LAT, LAT, 4))
+    refs = jax.random.normal(rngs[1], (n, b, LAT, LAT, 4)) * 0.2
+    zero = jax.random.normal(rngs[2], (b, LAT, LAT, 4)) * 0.05
+    noise = jax.random.normal(rngs[3], (b, LAT, LAT, 4))
+    tu = _text(b, 1)
+    tc = _text(b, 2)
+    prev_u = jnp.stack([_text(b, 50)] * n)  # same "" uncond per ref
+    prev_c = jnp.stack([_text(b, 60 + i) for i in range(n)])
+
+    # one step through the pipeline (new deduped path)
+    out_new = sampler.sample(params, lat, tu, tc, refs, zero, prev_u,
+                             prev_c, noise, jnp.asarray(7.0),
+                             jnp.asarray(3.5),
+                             stage="multi-image-condition",
+                             num_inference_steps=1)
+
+    # naive reference formulation: per ref, 3 rows [zero, ref, ref] with
+    # text [uncond, cond, cond]; concat features per ref on seq dim
+    ts = S.ddim_timesteps(sampler.sched_cfg, 1)
+    t = int(ts[0])
+    ref_t = t // 10
+    ctx_rows = None
+    for i in range(n):
+        nz = S.add_noise(sched, zero, noise, jnp.asarray(ref_t))
+        nr = S.add_noise(sched, refs[i], noise, jnp.asarray(ref_t))
+        rows = jnp.concatenate([nz, nr, nr], axis=0)
+        text_rows = jnp.concatenate([prev_u[i], prev_c[i], prev_c[i]],
+                                    axis=0)
+        _, raw = unet.apply(params["unet"], rows,
+                            jnp.full((3 * b,), ref_t), text_rows)
+        ctx_rows = raw if ctx_rows is None else {
+            k: jnp.concatenate([ctx_rows[k], raw[k]], axis=1)
+            for k in raw}
+    text3 = jnp.concatenate([tu, tu, tc], axis=0)
+    lat_in = jnp.concatenate([lat] * 3, axis=0)
+    eps3, _ = unet.apply(params["unet"], lat_in, jnp.asarray(t), text3,
+                         ctx_rows)
+    e_u, e_i, e_a = jnp.split(eps3, 3, axis=0)
+    eps = e_u + 3.5 * (e_i - e_u) + 7.0 * (e_a - e_i)
+    expected = S.ddim_step(sched, eps.astype(jnp.float32), jnp.asarray(t),
+                           jnp.asarray(t - 1000), lat)
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(expected),
+                               rtol=2e-4, atol=2e-5)
