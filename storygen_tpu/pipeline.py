@@ -297,6 +297,18 @@ class StoryGenPipeline:
         self._encode_text = jax.jit(
             lambda ids: text_encoder.apply(text_params, ids))
 
+    def save_pretrained(self, root: str) -> None:
+        """Export all components in the diffusers folder layout the
+        reference stack loads (pipeline.save_pretrained parity,
+        train_StorySalon_stage2.py:348-357)."""
+        from storygen_tpu.checkpoint.hf_export import save_pretrained
+        save_pretrained(root, unet_params=self.params["unet"],
+                        vae_params=self.params["vae"],
+                        clip_params=self.text_params)
+        tok = getattr(self.tokenizer, "tok", self.tokenizer)
+        if hasattr(tok, "save_pretrained"):
+            tok.save_pretrained(f"{root}/tokenizer")
+
     def tokenize(self, prompts: Sequence[str]) -> jax.Array:
         """Accepts either a data.loader.Tokenizer-style callable
         (list[str] -> (B, 77) ids) or a raw HF tokenizer."""
