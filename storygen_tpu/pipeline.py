@@ -70,7 +70,8 @@ class StoryGenSampler:
     # ---------------------------------------------------------------- loop
     @functools.partial(jax.jit, static_argnums=(0,),
                        static_argnames=("stage", "num_inference_steps",
-                                        "sampler", "ref_feature_interval"))
+                                        "sampler", "eta",
+                                        "ref_feature_interval"))
     def sample(self, params: Dict[str, Params], latents: jax.Array,
                text_emb_uncond: jax.Array, text_emb_cond: jax.Array,
                ref_latents: Optional[jax.Array],
@@ -80,7 +81,8 @@ class StoryGenSampler:
                noise: jax.Array,
                guidance_scale: jax.Array, image_guidance_scale: jax.Array,
                *, stage: str, num_inference_steps: int,
-               sampler: str = "ddim",
+               sampler: str = "ddim", eta: float = 0.0,
+               sample_rng: Optional[jax.Array] = None,
                ref_feature_interval: int = 1) -> jax.Array:
         """Run the full DDIM denoising loop inside one jit.
 
@@ -99,6 +101,8 @@ class StoryGenSampler:
           guidance_scale / image_guidance_scale: scalars (traced).
           sampler: 'ddim' (reference parity, pipeline.py:461) or 'dpm++'
             (DPM-Solver++(2M): ~half the steps for DDIM-50 quality).
+          eta: DDIM stochasticity (reference eta kwarg, pipeline.py:287;
+            default 0 = deterministic). Needs sample_rng when > 0.
           ref_feature_interval: recompute the reference-cycle VLCM features
             every k-th denoise step, reusing the cached features otherwise
             (block-caching acceleration, cf. arXiv:2312.03209; ref noise
@@ -231,7 +235,13 @@ class StoryGenSampler:
                 new_latents, dpm_state2 = D.dpmpp_2m_step(
                     sched, eps, t, prev_t, latents, dpm_state)
             else:
-                new_latents = S.ddim_step(sched, eps, t, prev_t, latents)
+                step_noise = None
+                if eta > 0.0:
+                    step_noise = jax.random.normal(
+                        jax.random.fold_in(sample_rng, i), latents.shape,
+                        jnp.float32)
+                new_latents = S.ddim_step(sched, eps, t, prev_t, latents,
+                                          eta=eta, noise=step_noise)
                 dpm_state2 = dpm_state
             new_cached = ctx if (use_refs and ref_feature_interval > 1) \
                 else carry[2]

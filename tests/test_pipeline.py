@@ -210,3 +210,25 @@ def test_multi_image_zero_row_dedup_is_exact(setup):
                            jnp.asarray(t - 1000), lat)
     np.testing.assert_allclose(np.asarray(out_new), np.asarray(expected),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_eta_stochastic_ddim(setup):
+    """eta>0 adds per-step noise (reference eta kwarg, pipeline.py:287)."""
+    sampler, params = setup
+    b = 1
+    lat = jax.random.normal(jax.random.PRNGKey(31), (b, LAT, LAT, 4))
+    noise = jnp.zeros((b, LAT, LAT, 4))
+    kw = dict(stage="no", num_inference_steps=3)
+    args = (params, lat, _text(b, 1), _text(b, 2), None, None, None, None,
+            noise, jnp.asarray(7.0), jnp.asarray(3.5))
+    det = sampler.sample(*args, **kw)
+    s1 = sampler.sample(*args, eta=1.0,
+                        sample_rng=jax.random.PRNGKey(0), **kw)
+    s2 = sampler.sample(*args, eta=1.0,
+                        sample_rng=jax.random.PRNGKey(1), **kw)
+    assert not np.allclose(np.asarray(s1), np.asarray(det))
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+    # same rng -> reproducible
+    s1b = sampler.sample(*args, eta=1.0,
+                         sample_rng=jax.random.PRNGKey(0), **kw)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))

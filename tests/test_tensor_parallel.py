@@ -89,3 +89,19 @@ def test_tp_image_cycle_matches(setup):
     out_tp, _ = fwd(params_tp, sample_r, t_r, text_r, ctx_r)
     np.testing.assert_allclose(np.asarray(out_tp), np.asarray(base),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_tp_full_8way(setup):
+    """1x8 mesh: GSPMD handles even the GN-straddling shards correctly."""
+    model, params = setup
+    rng = np.random.RandomState(2)
+    sample = jnp.asarray(rng.randn(1, 16, 16, 4), dtype=jnp.float32)
+    text = jnp.asarray(rng.randn(1, 8, 16), dtype=jnp.float32)
+    t = jnp.asarray([7])
+    base, _ = model.apply(params, sample, t, text)
+    mesh = T.make_tp_mesh(1, 8)
+    params_tp = T.shard_unet_params(params, mesh)
+    inputs = T.replicated_on(mesh, (sample, t, text))
+    out_tp, _ = jax.jit(model.apply)(params_tp, *inputs)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(base),
+                               rtol=2e-4, atol=2e-5)
