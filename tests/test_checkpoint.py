@@ -118,3 +118,45 @@ def test_orbax_save_restore(tmp_path, unet_params):
     a = jax.tree.leaves(state.trainable)[0]
     b = jax.tree.leaves(restored["state"].trainable)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_folder_level_roundtrip(tmp_path):
+    """save_pretrained folder -> load_diffusers_pretrained reproduces the
+    models end-to-end (configs + weights + scheduler)."""
+    import json
+    import dataclasses
+    from storygen_tpu.checkpoint.hf_export import save_pretrained
+    from storygen_tpu.checkpoint.hf_import import load_diffusers_pretrained
+    from storygen_tpu.configs import SchedulerConfig
+
+    rng = jax.random.PRNGKey(3)
+    unet = UNet2DConditionModel(config=UNET_SMALL)
+    unet_params = jax.jit(unet.init)(rng, jnp.zeros((1, 8, 8, 4)),
+                                     jnp.asarray([0]), jnp.zeros((1, 8, 16)))
+    vae = AutoencoderKL(config=VAE_SMALL)
+    vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, 32, 32, 3)), rng)
+    clip = CLIPTextModel(config=CLIP_SMALL)
+    clip_params = jax.jit(clip.init)(rng, jnp.zeros((1, 8), jnp.int32))
+
+    root = str(tmp_path / "ckpt")
+    save_pretrained(root, unet_params=unet_params, vae_params=vae_params,
+                    clip_params=clip_params,
+                    configs={"unet": UNET_SMALL, "vae": VAE_SMALL,
+                             "clip": CLIP_SMALL})
+    os.makedirs(os.path.join(root, "scheduler"), exist_ok=True)
+    with open(os.path.join(root, "scheduler", "scheduler_config.json"),
+              "w") as f:
+        json.dump(dataclasses.asdict(SchedulerConfig()), f)
+
+    bundle = load_diffusers_pretrained(root)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 4),
+                    dtype=jnp.float32)
+    text = jnp.zeros((1, 8, 16))
+    a, _ = unet.apply(unet_params, x, jnp.asarray([1]), text)
+    b_, _ = bundle["unet"].apply(bundle["unet_params"], x, jnp.asarray([1]),
+                                 text)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    ids = jnp.zeros((1, 8), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(clip.apply(clip_params, ids)),
+        np.asarray(bundle["text_encoder"].apply(bundle["text_params"], ids)))
