@@ -13,11 +13,15 @@ from storygen_tpu.models.unet import UNet2DConditionModel, context_shapes
 
 
 def bench(fn, *args, iters=5):
-    fn(*args)[0].block_until_ready()
+    # NOTE: through the axon tunnel block_until_ready() under-reports;
+    # device_get on a reduced scalar is the reliable sync (see
+    # .claude/skills/verify/SKILL.md)
+    import jax
+    jax.device_get(jax.tree.leaves(fn(*args))[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    out[0].block_until_ready()
+    jax.device_get(jax.tree.leaves(out)[0])
     return (time.perf_counter() - t0) / iters
 
 

@@ -32,7 +32,7 @@ def annotate(name: str):
 
 
 class StepTimer:
-    def __init__(self, sync_tree=None):
+    def __init__(self):
         self.times: List[float] = []
         self._t0: Optional[float] = None
 
