@@ -37,9 +37,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++"])
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu)")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from PIL import Image
     from storygen_tpu.checkpoint.hf_import import load_diffusers_pretrained

@@ -25,9 +25,13 @@ def main():
                     help="local PickScore_v1 path")
     ap.add_argument("--num_samples", type=int, default=10)
     ap.add_argument("--num_inference_steps", type=int, default=40)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu)")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from PIL import Image
     from storygen_tpu.checkpoint.hf_import import load_diffusers_pretrained

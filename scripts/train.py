@@ -15,8 +15,13 @@ def main():
     ap.add_argument("--stage", default="stage2",
                     choices=["stage1", "stage2", "coco"])
     ap.add_argument("--config", required=True)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu)")
     args = ap.parse_args()
 
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     from storygen_tpu.configs import TrainConfig
     from storygen_tpu.data.datasets import (COCOMultiSegDataset,
                                             StorySalonDataset)
