@@ -96,13 +96,18 @@ def _masked_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
 
 
 def _pick_block(size: int, preferred: int) -> Optional[int]:
-    # v5e sweep (scripts/profile_unet.py): bq=512, bk=1024 is fastest on
-    # the hot shapes (4096x4096 and 4096x12288); shrink only when the
-    # sequence does not divide.
     for b in (preferred, 1024, 512, 256, 128):
         if b <= size and size % b == 0:
             return b
     return None
+
+
+def _choose_blocks(sq: int, skv: int, block_q: int, block_k: int):
+    """v5e sweeps (scripts/profile_unet.py): bk=1024 everywhere; bq=1024
+    wins at sq>=4096 (attn3 L1 8.4->6.1 ms, attn1 L1 b9 8.7->6.7 ms) while
+    bq=512 wins at sq=1024. Callers' explicit larger block_q is kept."""
+    bq_pref = max(block_q, 1024) if sq >= 4096 else block_q
+    return _pick_block(sq, bq_pref), _pick_block(skv, block_k)
 
 
 @functools.partial(jax.custom_vjp,
@@ -114,8 +119,7 @@ def _flash_core(q, k, v, block_mask, scale, block_q, block_k, interpret,
     dummy when masked=False."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    bq = _pick_block(sq, block_q)
-    bk = _pick_block(skv, block_k)
+    bq, bk = _choose_blocks(sq, skv, block_q, block_k)
     if bq is None or bk is None:
         raise ValueError(f"unsupported seq lens ({sq}, {skv})")
 
@@ -370,8 +374,7 @@ def _core_bwd(scale, block_q, block_k, interpret, masked, res, g):
     q-chunked XLA recompute fallback (peak live logits (B, H, 512, Skv))."""
     q, k, v, block_mask, out = res
     if PALLAS_BACKWARD:
-        bq = _pick_block(q.shape[2], block_q)
-        bk = _pick_block(k.shape[2], block_k)
+        bq, bk = _choose_blocks(q.shape[2], k.shape[2], block_q, block_k)
         dq, dk, dv = _pallas_bwd_with_out(q, k, v, block_mask, out, g,
                                           scale, bq, bk, interpret, masked)
         return dq, dk, dv, jnp.zeros_like(block_mask)
