@@ -77,3 +77,38 @@ def test_pipeline_sampler_option():
     assert o_ddim.shape == o_dpm.shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(o_dpm)).all()
     assert not np.allclose(np.asarray(o_ddim), np.asarray(o_dpm))
+
+
+def test_dpm_with_refs():
+    """DPM++ sampler through the full reference-conditioned loop."""
+    from storygen_tpu.configs import UNetConfig, VAEConfig
+    from storygen_tpu.models.unet import UNet2DConditionModel
+    from storygen_tpu.models.vae import AutoencoderKL
+    from storygen_tpu.pipeline import StoryGenSampler
+    rng = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(config=UNetConfig(
+        block_out_channels=(16, 32, 32, 32), attention_head_dim=4,
+        norm_num_groups=4, cross_attention_dim=16))
+    up = jax.jit(unet.init)(rng, jnp.zeros((1, 8, 8, 4)), jnp.asarray([0]),
+                            jnp.zeros((1, 4, 16)))
+    vae = AutoencoderKL(config=VAEConfig(
+        block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+        norm_num_groups=2))
+    vp = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
+    sampler = StoryGenSampler(unet, vae)
+    params = {"unet": up, "vae": vp}
+    ks = jax.random.split(rng, 6)
+    b, n = 1, 2
+    def text(i):
+        return jax.random.normal(jax.random.PRNGKey(i), (b, 4, 16))
+    out = sampler.sample(
+        params, jax.random.normal(ks[0], (b, 8, 8, 4)), text(1), text(2),
+        jax.random.normal(ks[1], (n, b, 8, 8, 4)) * 0.2,
+        jnp.zeros((b, 8, 8, 4)),
+        jnp.stack([text(10 + i) for i in range(n)]),
+        jnp.stack([text(20 + i) for i in range(n)]),
+        jax.random.normal(ks[2], (b, 8, 8, 4)), jnp.asarray(7.0),
+        jnp.asarray(3.5), stage="auto-regressive", num_inference_steps=4,
+        sampler="dpm++")
+    assert out.shape == (b, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
