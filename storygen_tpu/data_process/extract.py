@@ -16,7 +16,7 @@ import os
 import re
 import shutil
 import subprocess
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 
 # --------------------------------------------------------------- keyframes

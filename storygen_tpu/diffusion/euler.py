@@ -12,8 +12,6 @@ functions below fold both in.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ CLIP ViT-B/32 for CLIP-I/T, CLIP-H + PickScore_v1 head for PickScore.
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -11,7 +11,7 @@ extractor is pluggable:
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from storygen_tpu.configs import PipelineConfig, SchedulerConfig
+from storygen_tpu.configs import SchedulerConfig
 from storygen_tpu.diffusion import schedule as S
 
 Params = Any

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import Any, Callable, Tuple
 
-import jax
 import optax
 from flax.traverse_util import flatten_dict, unflatten_dict
 
