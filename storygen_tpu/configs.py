@@ -185,6 +185,8 @@ class TrainConfig:
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
     remat: bool = True
+    attn_backend: Optional[str] = None  # None='auto' (flash when it wins)
+    loader_threads: int = 8
     validation_sample_logger: Optional[dict] = None
 
     @classmethod

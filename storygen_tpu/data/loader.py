@@ -93,24 +93,33 @@ class DataLoader:
             self._rng.shuffle(idx)
         return idx
 
-    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _batches(self, pool) -> Iterator[Dict[str, np.ndarray]]:
         while True:  # cycle epochs forever (reference data_yielder,
             # train_StorySalon_stage2.py:249-255)
             idx = self._epoch_indices()
             n_full = len(idx) // self.batch_size
             end = n_full * self.batch_size if self.drop_last else len(idx)
             for s in range(0, end, self.batch_size):
-                chunk = idx[s:s + self.batch_size]
-                samples = [self.dataset[int(i)] for i in chunk]
+                chunk = [int(i) for i in idx[s:s + self.batch_size]]
+                if pool is not None:
+                    # PIL decode/resize releases the GIL: per-step host
+                    # work is batch x 4 512px image decodes, which a
+                    # single thread cannot feed to an 8-chip mesh
+                    samples = list(pool.map(self.dataset.__getitem__, chunk))
+                else:
+                    samples = [self.dataset[i] for i in chunk]
                 yield collate(samples, self.tokenizer)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from concurrent.futures import ThreadPoolExecutor
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        pool = (ThreadPoolExecutor(max_workers=self.num_threads)
+                if self.num_threads > 1 else None)
 
         def worker():
             try:
-                for batch in self._batches():
+                for batch in self._batches(pool):
                     if stop.is_set():
                         return
                     q.put(batch)
@@ -127,3 +136,5 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+            if pool is not None:
+                pool.shutdown(wait=False)

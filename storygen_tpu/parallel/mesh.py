@@ -39,25 +39,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Batch keys whose arrays are ref-major (N_refs, B, ...): the batch axis
+# to shard is axis 1 (data/loader.py collate layout).
+REF_MAJOR_KEYS = frozenset(
+    {"ref_images", "ref_input_ids", "ref_latent_moments", "ref_masks"})
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host batch pytree with the batch axis sharded.
 
-    Arrays whose leading dim is the ref axis (N, B, ...) shard on axis 1.
+    Sharding is decided by key name, not shape: the keys in REF_MAJOR_KEYS
+    carry a leading ref axis and shard on axis 1; everything else shards
+    on axis 0. (A shape heuristic misfires on small batches — a
+    (2, 512, 512, 3) image batch looks ref-major.)
     """
     bs = batch_sharding(mesh)
+    ref_sh = NamedSharding(mesh, P(None, DATA_AXIS))
 
-    def place(x):
+    def place(path, x):
         x = np.asarray(x)
-        if x.ndim >= 2 and x.shape[0] in (2, 3, 4) and \
-                x.shape[1] % mesh.shape[DATA_AXIS] == 0 and \
-                x.shape[0] < x.shape[1]:
-            # (N_refs, B, ...): shard axis 1
-            sh = NamedSharding(mesh, P(None, DATA_AXIS))
-        else:
-            sh = bs
-        return jax.device_put(x, sh)
+        key = str(path[-1].key) if path and hasattr(path[-1], "key") else ""
+        return jax.device_put(x, ref_sh if key in REF_MAJOR_KEYS else bs)
 
-    return jax.tree.map(place, batch)
+    return jax.tree_util.tree_map_with_path(place, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

