@@ -26,13 +26,18 @@ def main():
     ap.add_argument("--dedup_threshold", type=float, default=0.75)
     ap.add_argument("--ckpt", default=None,
                     help="SD checkpoint folder for TPU inpainting")
+    ap.add_argument("--yolo_weights", default=None,
+                    help="optional YOLO person-detector weights")
+    ap.add_argument("--face_onnx", default=None,
+                    help="optional cv2.FaceDetectorYN ONNX file")
     args = ap.parse_args()
     stages = set(args.stages.split(","))
 
-    from storygen_tpu.data_process import dedup, extract, masking
+    from storygen_tpu.data_process import dedup, detectors, extract, masking
 
     videos = sorted(f for f in os.listdir(args.videos)
-                    if f.endswith((".mp4", ".mkv", ".webm")))
+                    if f.endswith((".mp4", ".mkv", ".webm", ".avi",
+                                   ".mov")))
     print(f"{len(videos)} videos, stages: {sorted(stages)}")
 
     embed_fn = None
@@ -79,9 +84,15 @@ def main():
             frames = kept
 
         if "mask" in stages and frames:
-            kept = masking.process_directory(img_dir, mask_dir)
-            print(f"[{story}] masks written for {len(kept)} frames "
-                  "(no detectors plugged: empty masks)")
+            text_det = detectors.default_text_detector()
+            person_det = detectors.default_person_detector(
+                yolo_weights=args.yolo_weights, face_onnx=args.face_onnx)
+            kept = masking.process_directory(
+                img_dir, mask_dir, person_detector=person_det,
+                text_detector=text_det, delete_rejected=True)
+            note = "" if person_det else \
+                " (no person detector: text-only masks, no person filter)"
+            print(f"[{story}] masks written for {len(kept)} frames{note}")
 
         if "inpaint" in stages and inpainter and frames:
             import numpy as np

@@ -85,19 +85,22 @@ def main():
                 os.path.join(args.logdir, f"story_frame{i}.png"))
         print(f"saved {len(frames)}-frame story")
         return
+    # all samples for the prompt run as ONE batched sampler call
+    # (reference _encode_prompt duplication, model/pipeline.py:87-196)
+    out = pipe(stage=args.stage, prompt=args.prompt,
+               image_prompt=refs,
+               prev_prompt=[[p] for p in args.ref_prompt] or None,
+               num_inference_steps=args.num_inference_steps,
+               guidance_scale=args.guidance_scale,
+               image_guidance_scale=args.image_guidance_scale,
+               rng=jax.random.PRNGKey(args.seed),
+               sampler=args.sampler,
+               num_images_per_prompt=args.num_sample_per_prompt)
     for s in range(args.num_sample_per_prompt):
-        out = pipe(stage=args.stage, prompt=args.prompt,
-                   image_prompt=refs,
-                   prev_prompt=[[p] for p in args.ref_prompt] or None,
-                   num_inference_steps=args.num_inference_steps,
-                   guidance_scale=args.guidance_scale,
-                   image_guidance_scale=args.image_guidance_scale,
-                   rng=jax.random.PRNGKey(args.seed + s),
-                   sampler=args.sampler)
-        img = (out[0] * 255).astype(np.uint8)
+        img = (out[s] * 255).astype(np.uint8)
         Image.fromarray(img).save(
             os.path.join(args.logdir, f"{args.seed + s}_output.png"))
-        print(f"saved sample {s}")
+    print(f"saved {args.num_sample_per_prompt} samples")
 
 
 if __name__ == "__main__":

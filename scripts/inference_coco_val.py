@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--pickscore_model", default=None,
                     help="local PickScore_v1 path")
     ap.add_argument("--num_samples", type=int, default=10)
+    ap.add_argument("--samples_per_batch", type=int, default=5,
+                    help="candidates generated per sampler call (the 10 "
+                    "default candidates run as 2 batched calls)")
     ap.add_argument("--num_inference_steps", type=int, default=40)
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu)")
@@ -62,14 +65,18 @@ def main():
             continue
         refs = sample["ref_images"][:, None]
         candidates = []
-        for s in range(args.num_samples):
+        per = max(1, min(args.samples_per_batch, args.num_samples))
+        for s0 in range(0, args.num_samples, per):
+            nb = min(per, args.num_samples - s0)
             out = pipe(stage="multi-image-condition",
                        prompt=[sample["prompt"]], image_prompt=refs,
                        prev_prompt=[[p] for p in sample["ref_prompts"]],
                        num_inference_steps=args.num_inference_steps,
-                       rng=jax.random.PRNGKey(1000 * i + s))
-            candidates.append(
-                Image.fromarray((out[0] * 255).astype(np.uint8)))
+                       rng=jax.random.PRNGKey(1000 * i + s0),
+                       num_images_per_prompt=nb)
+            candidates.extend(
+                Image.fromarray((out[s] * 255).astype(np.uint8))
+                for s in range(nb))
         best = scorer.best_of(sample["prompt"], candidates) if scorer else 0
         candidates[best].save(out_path)
         print(f"[{i}/{len(ds)}] {name} -> sample {best}")

@@ -310,11 +310,16 @@ class StoryGenPipeline:
     def save_pretrained(self, root: str) -> None:
         """Export all components in the diffusers folder layout the
         reference stack loads (pipeline.save_pretrained parity,
-        train_StorySalon_stage2.py:348-357)."""
+        train_StorySalon_stage2.py:348-357): unet/ vae/ text_encoder/
+        tokenizer/ scheduler/ + model_index.json."""
         from storygen_tpu.checkpoint.hf_export import save_pretrained
         save_pretrained(root, unet_params=self.params["unet"],
                         vae_params=self.params["vae"],
-                        clip_params=self.text_params)
+                        clip_params=self.text_params,
+                        configs={"unet": self.sampler.unet.config,
+                                 "vae": self.vae.config,
+                                 "clip": self.text_encoder.config},
+                        scheduler_config=self.sampler.sched_cfg)
         tok = getattr(self.tokenizer, "tok", self.tokenizer)
         if hasattr(tok, "save_pretrained"):
             tok.save_pretrained(f"{root}/tokenizer")
@@ -347,7 +352,8 @@ class StoryGenPipeline:
                  negative_prompt: Optional[Sequence[str]] = None,
                  rng: Optional[jax.Array] = None,
                  latents: Optional[jax.Array] = None,
-                 sampler: str = "ddim") -> np.ndarray:
+                 sampler: str = "ddim",
+                 num_images_per_prompt: int = 1) -> np.ndarray:
         """Generate images.
 
         Args:
@@ -356,23 +362,35 @@ class StoryGenPipeline:
           image_prompt: (N, B, H, W, 3) reference frames in [-1, 1]
             (NHWC; the reference uses (B, N, 3, H, W) NCHW).
           prev_prompt: N lists of B captions for the reference frames.
-        Returns (B, H, W, 3) float images in [0, 1].
+          num_images_per_prompt: generate this many samples per prompt in
+            ONE batched sampler call (reference _encode_prompt duplication,
+            model/pipeline.py:87-196; used with 10 samples/prompt by
+            inference_COCO_val.py:120). Samples for prompt i occupy rows
+            [i*n, (i+1)*n) of the output.
+        Returns (B * num_images_per_prompt, H, W, 3) floats in [0, 1].
         """
         if stage not in STAGES:
             raise ValueError(f"stage must be one of {STAGES}")
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         b = len(prompt)
+        n = int(num_images_per_prompt)
+        bn = b * n
         h_lat, w_lat = height // 8, width // 8
+
+        def dup(x, axis=0):
+            """Duplicate the per-prompt batch axis n times (prompt-major),
+            matching the reference's embedding duplication."""
+            return x if n == 1 else jnp.repeat(x, n, axis=axis)
 
         k_lat, k_ref, k_zero, k_noise = jax.random.split(rng, 4)
         if latents is None:
-            latents = jax.random.normal(k_lat, (b, h_lat, w_lat, 4),
+            latents = jax.random.normal(k_lat, (bn, h_lat, w_lat, 4),
                                         jnp.float32)
         latents = latents * self.sampler.schedule.init_noise_sigma
 
         uncond = [""] * b if negative_prompt is None else list(negative_prompt)
-        text_cond = self.encode_prompt(prompt)
-        text_uncond = self.encode_prompt(uncond)
+        text_cond = dup(self.encode_prompt(prompt))
+        text_uncond = dup(self.encode_prompt(uncond))
 
         use_refs = stage in ("multi-image-condition", "auto-regressive")
         ref_latents = zero_latents = prev_u = prev_c = None
@@ -381,18 +399,20 @@ class StoryGenPipeline:
                 raise ValueError(f"stage {stage} needs image_prompt and "
                                  "prev_prompt")
             imgs = jnp.asarray(image_prompt, dtype=jnp.float32)
-            ref_latents = self.sampler.encode_ref_latents(
-                self.params["vae"], imgs, k_ref)
+            ref_latents = dup(self.sampler.encode_ref_latents(
+                self.params["vae"], imgs, k_ref), axis=1)
             zero_img = jnp.zeros((b, height, width, 3), jnp.float32)
             zdist = self.vae.apply(self.vae_params, zero_img,
                                    method=self.vae.encode)
-            zero_latents = (zdist.sample(k_zero)
-                            * self.vae.config.scaling_factor)
-            prev_c = jnp.stack([self.encode_prompt(p) for p in prev_prompt])
-            prev_u = jnp.stack([self.encode_prompt([""] * b)
-                                for _ in prev_prompt])
+            zero_latents = dup(zdist.sample(k_zero)
+                               * self.vae.config.scaling_factor)
+            prev_c = dup(jnp.stack([self.encode_prompt(p)
+                                    for p in prev_prompt]), axis=1)
+            prev_u = dup(jnp.stack([self.encode_prompt([""] * b)
+                                    for _ in prev_prompt]), axis=1)
 
-        noise = jax.random.normal(k_noise, (b, h_lat, w_lat, 4), jnp.float32)
+        noise = jax.random.normal(k_noise, (bn, h_lat, w_lat, 4),
+                                  jnp.float32)
 
         final = self.sampler.sample(
             self.params, latents, text_uncond, text_cond, ref_latents,

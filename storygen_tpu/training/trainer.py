@@ -212,10 +212,21 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
             if opt_step % cfg.checkpointing_steps == 0:
                 host_state = jax.device_get(state_r)
                 orbax_io.save_checkpoint(ckpt_dir, opt_step, host_state)
-                # also export interop checkpoint (reference folder layout)
+                # export the FULL pipeline folder the reference stack opens
+                # (pipeline_save.save_pretrained parity,
+                # train_StorySalon_stage2.py:348-357)
                 full = optim.merge_params(host_state.trainable, frozen_unet)
+                out_dir = os.path.join(cfg.logdir,
+                                       f"checkpoint_{opt_step}")
                 hf_export.save_pretrained(
-                    os.path.join(cfg.logdir, f"checkpoint_{opt_step}"),
-                    unet_params=full,
-                    configs={"unet": bundle.get("unet_config")})
+                    out_dir, unet_params=full,
+                    vae_params=bundle["vae_params"],
+                    clip_params=bundle["text_params"],
+                    configs={"unet": bundle.get("unet_config"),
+                             "vae": bundle.get("vae_config"),
+                             "clip": bundle.get("clip_config")},
+                    scheduler_config=bundle["scheduler_config"])
+                tok = getattr(tokenizer, "tok", tokenizer)
+                if hasattr(tok, "save_pretrained"):
+                    tok.save_pretrained(os.path.join(out_dir, "tokenizer"))
     return jax.device_get(state_r)

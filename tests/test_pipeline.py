@@ -232,3 +232,43 @@ def test_eta_stochastic_ddim(setup):
     s1b = sampler.sample(*args, eta=1.0,
                          sample_rng=jax.random.PRNGKey(0), **kw)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
+
+
+def test_num_images_per_prompt_batched(setup):
+    """num_images_per_prompt folds N samples per prompt into one sampler
+    call (reference model/pipeline.py:87-196 embedding duplication):
+    output is (B*N, H, W, 3), rows are distinct samples, prompt-major."""
+    from storygen_tpu.pipeline import StoryGenPipeline
+    from storygen_tpu.models.clip_text import CLIPTextModel
+    from storygen_tpu.configs import CLIPTextConfig
+    sampler, params = setup
+    rng = jax.random.PRNGKey(0)
+    clip = CLIPTextModel(config=CLIPTextConfig(
+        vocab_size=64, hidden_size=24, intermediate_size=48,
+        num_hidden_layers=1, num_attention_heads=2,
+        max_position_embeddings=7))
+    clip_params = jax.jit(clip.init)(rng, jnp.zeros((1, 7), jnp.int32))
+
+    def fake_tok(texts):
+        return np.asarray([[hash(t) % 64 for _ in range(7)]
+                           for t in texts], np.int32)
+
+    pipe = StoryGenPipeline(sampler.unet, params["unet"], sampler.vae,
+                            params["vae"], clip, clip_params, fake_tok)
+    out = pipe(stage="no", prompt=["a fox", "a hen"], height=64, width=64,
+               num_inference_steps=2, num_images_per_prompt=3,
+               rng=jax.random.PRNGKey(5))
+    assert out.shape == (6, 64, 64, 3)
+    # distinct latents -> distinct samples within a prompt group
+    assert np.abs(out[0] - out[1]).max() > 0
+    assert np.abs(out[3] - out[4]).max() > 0
+    # ref-conditioned stages accept it too
+    refs = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(7), (2, 2, 64, 64, 3))) * 0.1
+    out2 = pipe(stage="auto-regressive", prompt=["a fox", "a hen"],
+                image_prompt=refs,
+                prev_prompt=[["p0", "p0b"], ["p1", "p1b"]],
+                height=64, width=64, num_inference_steps=2,
+                num_images_per_prompt=2, rng=jax.random.PRNGKey(6))
+    assert out2.shape == (4, 64, 64, 3)
+    assert np.isfinite(out2).all()
