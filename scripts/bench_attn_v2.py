@@ -1,0 +1,243 @@
+"""Round-2 MFU sweep: transposed-logit flash forward variants, on-chip.
+
+The d=40 'column-bound ceiling' of the shipped kernel (~62 TFLOP/s)
+comes from two padding wastes on the MXU (128x128 tiles):
+  - qk: contraction dim d=40 padded to 128 (3.2x waste) — irreducible,
+    d is the contraction.
+  - pv: P(BQ,BK) @ V(BK,40): the N=40 output tile padded to 128 lanes
+    (3.2x waste) — REDUCIBLE: compute pv TRANSPOSED as
+    V^T-contraction dot_general(v, p_t, contract BK on sublanes) ->
+    (D, BQ): d rides the M (streaming) axis, which never pads.
+With pv waste-free, the combined ceiling lifts to
+  197 * 2/(3.2 + 1) ~= 94 TFLOP/s at d=40 (and ~151 at d=80).
+The transposed logit space additionally puts per-q-row softmax stats on
+the LANE axis as (1, BQ) rows (native sublane broadcast, like the repo's
+backward kernels), killing the (BQ,128) stat broadcasts of the shipped
+forward.
+
+Variants:
+  t        transposed kernel, exact online softmax, scale folded on host
+  t_exp2   + base-2 softmax (fold log2e into the host scale)
+  t_bnd    max-free: logits shifted by the a-priori row bound
+           b_i = |q_i*scale| * max_j |k_j| (>= row max by Cauchy-Schwarz);
+           row sum rides the MXU as a ones-column of v. No stats at all.
+  repo     shipped kernel (ops/pallas_attention.py)
+
+Usage: python scripts/bench_attn_v2.py
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+NEG_INF = -1e30
+DS = ("parallel", "parallel", "arbitrary")
+
+
+# ------------------------------------------------------------ transposed
+def _t_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+              num_kv_blocks, use_exp2):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    exp = jnp.exp2 if use_exp2 else jnp.exp
+    q = q_ref[0]  # (BQ, D) pre-scaled on host
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]  # (BK, D)
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BK, BQ)
+    m_prev = m_ref[:1, :]                            # (1, BQ) on lanes
+    m_new = jnp.maximum(m_prev, jnp.max(s_t, axis=0, keepdims=True))
+    p_t = exp(s_t - m_new)                           # (BK, BQ)
+    alpha = exp(m_prev - m_new)                      # (1, BQ)
+    l_new = l_ref[:1, :] * alpha + jnp.sum(p_t, axis=0, keepdims=True)
+    pv_t = jax.lax.dot_general(
+        v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (D, BQ): d streams
+    acc_ref[:] = acc_ref[:] * alpha + pv_t
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)  # (8, BQ): cheap
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _fin():
+        o_ref[0] = (acc_ref[:]
+                    / jnp.maximum(l_ref[:1, :], 1e-20)).astype(o_ref.dtype)
+
+
+def t_attention(q, k, v, *, sm_scale, bq, bk, use_exp2=False):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    scale = sm_scale * (1.4426950408889634 if use_exp2 else 1.0)
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qf = qf.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, skv, d)
+    vf = v.reshape(b * h, skv, d)
+    nk = skv // bk
+    out = pl.pallas_call(
+        functools.partial(_t_kernel, num_kv_blocks=nk, use_exp2=use_exp2),
+        grid=(b * h, sq // bq, nk),
+        in_specs=[pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+                  pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
+                  pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0))],
+        out_specs=pl.BlockSpec((1, d, bq), lambda i, j, kk: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+        scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32),
+                        pltpu.VMEM((8, bq), jnp.float32),
+                        pltpu.VMEM((8, bq), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=DS),
+    )(qf, kf, vf)
+    return out.reshape(b, h, d, sq).transpose(0, 1, 3, 2)
+
+
+# ------------------------------------------------------- bounded (max-free)
+def _tb_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, d, num_kv_blocks):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s_t = jax.lax.dot_general(
+        k_ref[0], q_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (BK, BQ), pre-shifted
+    p_t = jnp.exp2(s_t)
+    acc_ref[:] += jax.lax.dot_general(
+        v_ref[0], p_t.astype(v_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (D+1, BQ)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _fin():
+        o_ref[0] = (acc_ref[:d, :]
+                    / jnp.maximum(acc_ref[d:d + 1, :], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+def tb_attention(q, k, v, *, sm_scale, bq, bk):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    log2e = 1.4426950408889634
+    qf = q.astype(jnp.float32) * (sm_scale * log2e)
+    kf = k.astype(jnp.float32)
+    # per-row upper bound (in base-2 logit units) folded into an extra
+    # q column against a ones column of k
+    kmax = jnp.sqrt((kf * kf).sum(-1)).max(axis=2, keepdims=True)
+    bound = jnp.sqrt((qf * qf).sum(-1)) * kmax              # (b,h,sq)
+    q_ext = jnp.concatenate([qf, -bound[..., None]], -1).astype(q.dtype)
+    ones_k = jnp.ones((b, h, skv, 1), k.dtype)
+    k_ext = jnp.concatenate([k, ones_k], -1)
+    v_ext = jnp.concatenate([v, ones_k], -1)
+    qe = q_ext.reshape(b * h, sq, d + 1)
+    ke = k_ext.reshape(b * h, skv, d + 1)
+    ve = v_ext.reshape(b * h, skv, d + 1)
+    nk = skv // bk
+    out = pl.pallas_call(
+        functools.partial(_tb_kernel, d=d, num_kv_blocks=nk),
+        grid=(b * h, sq // bq, nk),
+        in_specs=[pl.BlockSpec((1, bq, d + 1), lambda i, j, kk: (i, j, 0)),
+                  pl.BlockSpec((1, bk, d + 1), lambda i, j, kk: (i, kk, 0)),
+                  pl.BlockSpec((1, bk, d + 1), lambda i, j, kk: (i, kk, 0))],
+        out_specs=pl.BlockSpec((1, d, bq), lambda i, j, kk: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+        scratch_shapes=[pltpu.VMEM((d + 1, bq), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=DS),
+    )(qe, ke, ve)
+    return out.reshape(b, h, d, sq).transpose(0, 1, 3, 2)
+
+
+def xla_attn(q, k, v, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def scan_time(attn_fn, q, k, v, n=20):
+    qs = jnp.stack([q * (1 + 1e-6 * i) for i in range(n)])
+
+    @jax.jit
+    def run(qs, k, v):
+        def body(acc, qi):
+            out = attn_fn(qi, k, v)
+            return acc + out.astype(jnp.float32).mean(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), qs)
+        return acc
+
+    jax.device_get(run(qs, k, v))
+    t0 = time.perf_counter()
+    jax.device_get(run(qs, k, v))
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    from storygen_tpu.ops.pallas_attention import flash_attention
+
+    shapes = [
+        ("attn3_L1", 3, 8, 4096, 12288, 40),
+        ("attn1_L1_ref", 6, 8, 4096, 4096, 40),
+        ("attn1_L1_main", 3, 8, 4096, 4096, 40),
+        ("attn3_L2", 3, 8, 1024, 3072, 80),
+        ("attn1_L2_ref", 6, 8, 1024, 1024, 80),
+        ("attn3_L3", 3, 8, 256, 768, 160),
+    ]
+    rng = jax.random.PRNGKey(0)
+    for name, b, h, sq, skv, d in shapes:
+        ks = jax.random.split(rng, 3)
+        q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (b, h, skv, d), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (b, h, skv, d), jnp.bfloat16)
+        sm = d ** -0.5
+        flops = 4 * b * h * sq * skv * d
+        ref = xla_attn(q.astype(jnp.float32), k.astype(jnp.float32),
+                       v.astype(jnp.float32), sm)
+        cands = [("repo", functools.partial(flash_attention, scale=sm))]
+        for bq in (256, 512, 1024):
+            for bk in (512, 1024, 2048, 3072):
+                if bq > sq or sq % bq or bk > skv or skv % bk:
+                    continue
+                if bq * bk * 4 > 6 * 2**20:  # cap the fp32 p_t VMEM block
+                    continue
+                tag = f"bq{bq} bk{bk}"
+                cands += [
+                    (f"t {tag}", functools.partial(
+                        t_attention, sm_scale=sm, bq=bq, bk=bk)),
+                    (f"t_exp2 {tag}", functools.partial(
+                        t_attention, sm_scale=sm, bq=bq, bk=bk,
+                        use_exp2=True)),
+                    (f"t_bnd {tag}", functools.partial(
+                        tb_attention, sm_scale=sm, bq=bq, bk=bk)),
+                ]
+        for label, fn in cands:
+            try:
+                out = fn(q, k, v)
+                err = jnp.abs(out.astype(jnp.float32) - ref).max()
+                dt = scan_time(fn, q, k, v)
+                print(f"{name:14s} {label:20s} {dt*1e3:7.3f} ms "
+                      f"{flops/dt/1e12:6.1f} TFLOP/s  maxerr {err:.2e}",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:14s} {label:20s} FAILED "
+                      f"{type(e).__name__}: {str(e)[:80]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""On-device flash-attention numerics: Mosaic-compiled kernels vs XLA.
+
+Runs on the real TPU (no interpret mode): forward + backward, masked +
+unmasked, all three forward variants, at a reduced attn3-shaped problem.
+Prints one JSON line with max abs errors; exits nonzero on tolerance
+breach. Used by tests/test_tpu_kernels.py (subprocess) and quoted in
+BENCH.md.
+
+Tolerances: inputs are bf16 (the serving/training dtype), reference is
+the fp32 XLA path on the same chip; bf16 rounding of q/k/v dominates the
+error budget (~1e-2 on O(1) outputs).
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+TOL_FWD = 2e-2
+TOL_BWD = 5e-2
+
+
+def main():
+    from storygen_tpu.ops.attention import xla_attention
+    from storygen_tpu.ops.pallas_attention import flash_attention
+
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        print(json.dumps({"ok": False, "reason": f"no TPU ({backend})"}))
+        return 2
+
+    rng = jax.random.PRNGKey(0)
+    b, h, sq, skv, d = 2, 4, 1024, 3072, 40
+    ks = jax.random.split(rng, 4)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, skv, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, skv, d), jnp.bfloat16)
+    g = jax.random.normal(ks[3], (b, h, sq, d), jnp.bfloat16)
+    scale = d ** -0.5
+    qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))
+    bm = jnp.tile(jnp.asarray([[1.0, 1.0, 0.0]]), (b, 1))  # drop ref 3
+    elem_mask = jnp.repeat(bm.astype(bool), skv // 3,
+                           axis=1)[:, None, None, :]
+
+    ref = jax.jit(lambda q, k, v: xla_attention(q, k, v, scale))(qf, kf, vf)
+    ref_m = jax.jit(lambda q, k, v: xla_attention(
+        q, k, v, scale, mask=elem_mask))(qf, kf, vf)
+
+    def vjp_of(fn):
+        def loss(q, k, v):
+            return (fn(q, k, v).astype(jnp.float32)
+                    * g.astype(jnp.float32)).sum()
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+    gref = vjp_of(lambda q, k, v: xla_attention(q, k, v, scale))(qf, kf, vf)
+
+    results, ok = {}, True
+    for variant in ("grid", "online_t", "bnd"):
+        fwd = jax.jit(lambda q, k, v, _v=variant: flash_attention(
+            q, k, v, scale=scale, variant=_v))
+        out = fwd(q, k, v)
+        err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+        results[f"{variant}_fwd"] = err
+        ok &= err < TOL_FWD
+
+        fwd_m = jax.jit(lambda q, k, v, _v=variant: flash_attention(
+            q, k, v, scale=scale, variant=_v, block_mask=bm))
+        err_m = float(jnp.abs(fwd_m(q, k, v).astype(jnp.float32)
+                              - ref_m).max())
+        results[f"{variant}_fwd_masked"] = err_m
+        ok &= err_m < TOL_FWD
+
+        gs = vjp_of(lambda q, k, v, _v=variant: flash_attention(
+            q, k, v, scale=scale, variant=_v))(q, k, v)
+        for name, a, r in zip(("dq", "dk", "dv"), gs, gref):
+            e = float(jnp.abs(a.astype(jnp.float32) - r).max()
+                      / (jnp.abs(r).max() + 1e-6))
+            results[f"{variant}_{name}_relerr"] = e
+            ok &= e < TOL_BWD
+
+    print(json.dumps({"ok": bool(ok), "backend": backend,
+                      "shape": [b, h, sq, skv, d], **results}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,29 @@ in both training and serving.
 Differentiable: custom VJP with a q-chunked lax.scan recompute backward —
 peak live logits (B, H, 512, Skv) instead of (B, H, Sq, Skv).
 
+Forward variants (round-2 MFU work; on-chip ablation in
+scripts/bench_attn_ablate.py):
+
+- "grid" — the original kernel: (BQ, BK) logits, online softmax with
+  running (max, sum) scratch carried across kv grid steps.
+- "bnd" (default) — TRANSPOSED, stats-free kernel. Two structural wins:
+  (1) the PV matmul runs as dot_general(v, p_t) -> (D, BQ), so head_dim
+  rides the MXU's streaming axis instead of a 128-padded output tile —
+  at d=40 this removes the 3.2x lane-padding waste of the PV dot
+  entirely (measured: PV adds ~0.6 ms on top of the 3.4 ms qk floor at
+  4096x12288, vs ~equal-to-qk before); (2) softmax runs max-free — logits
+  are pre-shifted by a per-row upper bound b_i = q_i k_mean + |q_i| *
+  max_j |k_j - k_mean| (>= row max by Cauchy-Schwarz around the key
+  centroid), folded into an extra q/k column, and the row sum rides the
+  MXU as a ones-column of v. No running stats, no rescale chain between
+  kv steps, base-2 exp. Exact softmax after the final division; validity
+  domain: (bound - logit) within fp32 exp2 range (~126), i.e. natural-
+  units logits |s| <~ 85 — SD attention logits are O(10). Measured on
+  v5e: attn3 L1 5.8 -> 4.0 ms, attn1 L1(b6) 4.4 -> 3.0 ms.
+- "online_t" — transposed layout with the exact online-softmax
+  recurrence (stats as (1, BQ) lane rows). ~10-15% slower than "bnd";
+  no bound-domain caveat. Used where inputs may be adversarially scaled.
+
 Used automatically by ops/attention.multi_head_attention when shapes
 qualify.
 """
@@ -43,6 +66,94 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
+
+# Forward kernel variant: "bnd" (transposed, stats-free; fastest),
+# "online_t" (transposed, exact online softmax), "grid" (original).
+# Module-level so training/serving can pin a variant globally.
+FORWARD_VARIANT = "bnd"
+
+
+def _bnd_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, d: int,
+                num_kv_blocks: int, mask_ref=None):
+    """Transposed stats-free flash step. Blocks: q (BQ, D+1) pre-scaled by
+    softmax_scale*log2(e) with -row_bound in the last column; k (BK, D+1)
+    with a ones column; v (BK, D+1) with a ones column (row-sum channel).
+    acc (D+1, BQ) fp32."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s_t = jax.lax.dot_general(
+        k_ref[0], q_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (BK, BQ), <= 0
+    p_t = jnp.exp2(s_t)
+    if mask_ref is not None:
+        # whole-block keep/drop: zero dropped blocks' probabilities (the
+        # ones-column row sum is zeroed with them).
+        p_t = p_t * mask_ref[pl.program_id(0), ki]
+    acc_ref[:] += jax.lax.dot_general(
+        v_ref[0], p_t.astype(v_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (D+1, BQ)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _fin():
+        o_ref[0] = (acc_ref[:d, :]
+                    / jnp.maximum(acc_ref[d:d + 1, :], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+def _bnd_masked_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
+                       d: int, num_kv_blocks: int):
+    _bnd_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, d=d,
+                num_kv_blocks=num_kv_blocks, mask_ref=mask_ref)
+
+
+def _online_t_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                     num_kv_blocks: int, mask_ref=None):
+    """Transposed exact online softmax: per-q-row stats live on the LANE
+    axis as (1, BQ) rows (native sublane broadcast). q pre-scaled by
+    softmax_scale*log2(e); base-2 exp."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (BK, BQ)
+    if mask_ref is not None:
+        s_t = s_t + (mask_ref[pl.program_id(0), ki] - 1.0) * (-NEG_INF)
+    m_prev = m_ref[:1, :]                             # (1, BQ)
+    m_new = jnp.maximum(m_prev, jnp.max(s_t, axis=0, keepdims=True))
+    p_t = jnp.exp2(s_t - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = l_ref[:1, :] * alpha + jnp.sum(p_t, axis=0, keepdims=True)
+    pv_t = jax.lax.dot_general(
+        v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (D, BQ)
+    acc_ref[:] = acc_ref[:] * alpha + pv_t
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _fin():
+        o_ref[0] = (acc_ref[:]
+                    / jnp.maximum(l_ref[:1, :], 1e-30)).astype(o_ref.dtype)
+
+
+def _online_t_masked_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref,
+                            m_ref, l_ref, *, num_kv_blocks: int):
+    _online_t_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                     num_kv_blocks=num_kv_blocks, mask_ref=mask_ref)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
@@ -102,26 +213,120 @@ def _pick_block(size: int, preferred: int) -> Optional[int]:
     return None
 
 
-def _choose_blocks(sq: int, skv: int, block_q: int, block_k: int):
-    """v5e sweeps (scripts/profile_unet.py): bk=1024 everywhere; bq=1024
-    wins at sq>=4096 (attn3 L1 8.4->6.1 ms, attn1 L1 b9 8.7->6.7 ms) while
-    bq=512 wins at sq=1024. Callers' explicit larger block_q is kept."""
-    bq_pref = max(block_q, 1024) if sq >= 4096 else block_q
+def _choose_blocks(sq: int, skv: int, block_q: int, block_k: int,
+                   variant: str = "grid"):
+    """v5e sweeps (scripts/profile_unet.py, bench_attn_v2.py,
+    bench_attn_ablate.py): bk=1024 everywhere. grid kernel: bq=1024 wins
+    at sq>=4096, bq=512 at sq=1024. Transposed kernels (bnd/online_t):
+    bq=1024 wins at every measured shape (attn3 L1 3.97 ms at
+    bq1024/bk1024 vs 4.39 at bq512/bk1024). Callers' explicit larger
+    block_q is kept."""
+    if variant in ("bnd", "online_t"):
+        bq_pref = max(block_q, 1024)
+    else:
+        bq_pref = max(block_q, 1024) if sq >= 4096 else block_q
     return _pick_block(sq, bq_pref), _pick_block(skv, block_k)
+
+
+def _broadcast_mask(block_mask, b, h, num_kv_blocks):
+    """(B, nk) -> (B*H, nk) so the SMEM mask indexes by grid i directly."""
+    return jnp.broadcast_to(
+        block_mask.astype(jnp.float32)[:, None, :],
+        (b, h, num_kv_blocks)).reshape(b * h, num_kv_blocks)
+
+
+def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
+                    bounded):
+    """Driver for the "bnd"/"online_t" transposed kernels. Folds
+    scale*log2(e) (and for bounded: the per-row logit bound and the
+    row-sum ones column) into the operands; returns (B, H, Sq, D)."""
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    nk = skv // bk
+    grid = (b * h, sq // bq, nk)
+    qf32 = q.astype(jnp.float32) * (scale * LOG2E)
+
+    mask_args, mask_specs = (), ()
+    if masked:
+        mask_args = (_broadcast_mask(block_mask, b, h, nk),)
+        mask_specs = (pl.BlockSpec(memory_space=pltpu.SMEM),)
+
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))
+
+    if bounded:
+        # Per-row logit upper bound around the key centroid:
+        # s_ij = q k_mean + q (k_j - k_mean) <= q k_mean + |q| max|k_j-k_mean|
+        kf32 = k.astype(jnp.float32)
+        k_mean = kf32.mean(axis=2, keepdims=True)              # (b,h,1,d)
+        resid = jnp.sqrt(jnp.sum((kf32 - k_mean) ** 2, -1))    # (b,h,skv)
+        rmax = resid.max(axis=2, keepdims=True)                # (b,h,1)
+        bound = (jnp.einsum("bhqd,bhkd->bhq", qf32, k_mean)
+                 + jnp.sqrt(jnp.sum(qf32 * qf32, -1)) * rmax)  # (b,h,sq)
+        qe = jnp.concatenate(
+            [qf32, -bound[..., None]], -1).astype(q.dtype)
+        ones = jnp.ones((b, h, skv, 1), k.dtype)
+        ke = jnp.concatenate([k, ones], -1)
+        ve = jnp.concatenate([v, ones], -1)
+        de = d + 1
+        qe = qe.reshape(b * h, sq, de)
+        ke = ke.reshape(b * h, skv, de)
+        ve = ve.reshape(b * h, skv, de)
+        kern = _bnd_masked_kernel if masked else _bnd_kernel
+        out = pl.pallas_call(
+            functools.partial(kern, d=d, num_kv_blocks=nk),
+            grid=grid,
+            in_specs=[
+                *mask_specs,
+                pl.BlockSpec((1, bq, de), lambda i, j, kk: (i, j, 0)),
+                pl.BlockSpec((1, bk, de), lambda i, j, kk: (i, kk, 0)),
+                pl.BlockSpec((1, bk, de), lambda i, j, kk: (i, kk, 0))],
+            out_specs=pl.BlockSpec((1, d, bq), lambda i, j, kk: (i, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+            scratch_shapes=[pltpu.VMEM((de, bq), jnp.float32)],
+            compiler_params=params,
+            interpret=interpret,
+        )(*mask_args, qe, ke, ve)
+    else:
+        qe = qf32.astype(q.dtype).reshape(b * h, sq, d)
+        ke = k.reshape(b * h, skv, d)
+        ve = v.reshape(b * h, skv, d)
+        kern = _online_t_masked_kernel if masked else _online_t_kernel
+        out = pl.pallas_call(
+            functools.partial(kern, num_kv_blocks=nk),
+            grid=grid,
+            in_specs=[
+                *mask_specs,
+                pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+                pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
+                pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0))],
+            out_specs=pl.BlockSpec((1, d, bq), lambda i, j, kk: (i, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+            scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32),
+                            pltpu.VMEM((8, bq), jnp.float32),
+                            pltpu.VMEM((8, bq), jnp.float32)],
+            compiler_params=params,
+            interpret=interpret,
+        )(*mask_args, qe, ke, ve)
+    return out.reshape(b, h, d, sq).transpose(0, 1, 3, 2)
 
 
 @functools.partial(jax.custom_vjp,
                    nondiff_argnames=("scale", "block_q", "block_k",
-                                     "interpret", "masked"))
+                                     "interpret", "masked", "variant"))
 def _flash_core(q, k, v, block_mask, scale, block_q, block_k, interpret,
-                masked):
+                masked, variant):
     """block_mask: (B, num_kv_blocks) float32 (1 keep / 0 drop); a (1, 1)
     dummy when masked=False."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    bq, bk = _choose_blocks(sq, skv, block_q, block_k)
+    bq, bk = _choose_blocks(sq, skv, block_q, block_k, variant)
     if bq is None or bk is None:
         raise ValueError(f"unsupported seq lens ({sq}, {skv})")
+
+    if variant in ("bnd", "online_t"):
+        return _transposed_fwd(q, k, v, block_mask, scale, bq, bk,
+                               interpret, masked, bounded=variant == "bnd")
 
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, skv, d)
@@ -143,10 +348,7 @@ def _flash_core(q, k, v, block_mask, scale, block_q, block_k, interpret,
         interpret=interpret,
     )
     if masked:
-        # (B, nk) -> (B*H, nk) so the mask block indexes by grid i directly
-        bm = jnp.broadcast_to(
-            block_mask.astype(jnp.float32)[:, None, :],
-            (b, h, num_kv_blocks)).reshape(b * h, num_kv_blocks)
+        bm = _broadcast_mask(block_mask, b, h, num_kv_blocks)
         out = pl.pallas_call(
             functools.partial(_masked_kernel, scale=scale,
                               num_kv_blocks=num_kv_blocks),
@@ -232,10 +434,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         v, do, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # (BK, BQ)
     ds_t = p_t * (dp_t - delta_ref[0, 0, :1, :])
-    # dq += ds^T @ k: contract the BK axis of both operands
+    # dq^T += k^T @ ds: contract the BK axis; output (D, BQ) keeps D on
+    # the MXU streaming axis (no 128-lane padding of the head dim)
     acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-        ds_t.astype(k.dtype), k, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (BQ, D)
+        k, ds_t.astype(k.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (D, BQ)
 
     @pl.when(ki == num_kv_blocks - 1)
     def _fin():
@@ -264,16 +467,18 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, dk_ref,
         s_t = s_t + (mask_smem[pl.program_id(0),
                                pl.program_id(1)] - 1.0) * (-NEG_INF)
     p_t = jnp.exp(s_t - lse_ref[0, 0, :1, :])
+    # dv^T += do^T @ p: contract BQ; output (D, BK) streams D (no lane
+    # padding of the head dim). Same for dk^T below.
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (BK, D)
+        do, p_t.astype(do.dtype), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (D, BK)
     dp_t = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     ds_t = p_t * (dp_t - delta_ref[0, 0, :1, :])
     dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
-        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (BK, D)
+        q, ds_t.astype(q.dtype), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (D, BK)
 
     @pl.when(qi == num_q_blocks - 1)
     def _fin():
@@ -331,45 +536,46 @@ def _pallas_bwd_with_out(q, k, v, block_mask, out, g, scale, bq, bk,
         interpret=interpret,
     )(*mask_args, qf, kf)
 
-    # 2. dQ
+    # 2. dQ — output transposed (BH, D, Sq): D on the streaming axis
     dq = pl.pallas_call(
         with_mask(_dq_kernel, scale=scale, num_kv_blocks=nk),
         grid=(bh, nq, nk),
         in_specs=[*mask_specs, qspec_j, kvspec_kk, kvspec_kk, qspec_j,
                   row_j, row_j],
-        out_specs=qspec_j,
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        out_specs=pl.BlockSpec((1, d, bq), lambda i, j, kk: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((bh, d, sq), q.dtype),
+        scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32)],
         interpret=interpret,
     )(*mask_args, qf, kf, vf, gf, lse, delta)
 
-    # 3. dK, dV
+    # 3. dK, dV — outputs transposed (BH, D, Skv)
+    kvspec_t = pl.BlockSpec((1, d, bk), lambda i, j, kk: (i, 0, j))
     dk, dv = pl.pallas_call(
         with_mask(_dkv_kernel, scale=scale, num_q_blocks=nq),
         grid=(bh, nk, nq),
         in_specs=[*mask_specs, kvspec_j, kvspec_j, qspec_kk, qspec_kk,
                   row_kk, row_kk],
-        out_specs=(kvspec_j, kvspec_j),
-        out_shape=(jax.ShapeDtypeStruct((bh, skv, d), k.dtype),
-                   jax.ShapeDtypeStruct((bh, skv, d), v.dtype)),
-        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
-                        pltpu.VMEM((bk, d), jnp.float32)],
+        out_specs=(kvspec_t, kvspec_t),
+        out_shape=(jax.ShapeDtypeStruct((bh, d, skv), k.dtype),
+                   jax.ShapeDtypeStruct((bh, d, skv), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((d, bk), jnp.float32),
+                        pltpu.VMEM((d, bk), jnp.float32)],
         interpret=interpret,
     )(*mask_args, kf, vf, qf, gf, lse, delta)
 
-    shape4 = (b, h, sq, d)
-    return (dq.reshape(shape4), dk.reshape(b, h, skv, d),
-            dv.reshape(b, h, skv, d))
+    return (dq.reshape(b, h, d, sq).transpose(0, 1, 3, 2),
+            dk.reshape(b, h, d, skv).transpose(0, 1, 3, 2),
+            dv.reshape(b, h, d, skv).transpose(0, 1, 3, 2))
 
 
 def _core_fwd(q, k, v, block_mask, scale, block_q, block_k, interpret,
-              masked):
+              masked, variant):
     out = _flash_core(q, k, v, block_mask, scale, block_q, block_k,
-                      interpret, masked)
+                      interpret, masked, variant)
     return out, (q, k, v, block_mask, out)
 
 
-def _core_bwd(scale, block_q, block_k, interpret, masked, res, g):
+def _core_bwd(scale, block_q, block_k, interpret, masked, variant, res, g):
     """Flash backward: dedicated Pallas kernels (PALLAS_BACKWARD) or a
     q-chunked XLA recompute fallback (peak live logits (B, H, 512, Skv))."""
     q, k, v, block_mask, out = res
@@ -435,14 +641,21 @@ _flash_core.defvjp(_core_fwd, _core_bwd)
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: float = 1.0, block_q: int = 512,
                     block_k: int = 1024, interpret: bool = False,
-                    block_mask: Optional[jax.Array] = None) -> jax.Array:
+                    block_mask: Optional[jax.Array] = None,
+                    variant: Optional[str] = None) -> jax.Array:
     """Fused attention over (B, H, S, D) tensors.
 
     block_mask: optional (B, Skv // block_k) keep-flags (bool/0-1); each
     kv block is wholly kept or dropped (the ref-frame mask granularity).
     Requires Sq % block_q == 0 and Skv % block_k == 0 after auto-shrink;
     gate with `flash_supported` / `ref_mask_block_k`.
+
+    variant: "bnd" (default, fastest), "online_t", or "grid" — see the
+    module docstring. None uses the module default FORWARD_VARIANT.
     """
+    if variant is None:
+        variant = FORWARD_VARIANT
+    assert variant in ("bnd", "online_t", "grid"), variant
     masked = block_mask is not None
     if not masked:
         block_mask = jnp.ones((1, 1), jnp.float32)
@@ -454,7 +667,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                 f"block_mask has {block_mask.shape[1]} blocks but kv len "
                 f"{skv} tiles into {None if bk is None else skv // bk}")
     return _flash_core(q, k, v, block_mask.astype(jnp.float32), scale,
-                       block_q, block_k, interpret, masked)
+                       block_q, block_k, interpret, masked, variant)
 
 
 def flash_supported(sq: int, skv: int, has_mask: bool,

@@ -10,12 +10,13 @@ from storygen_tpu.ops.pallas_attention import (flash_attention,
                                                flash_supported)
 
 
+@pytest.mark.parametrize("variant", ["grid", "online_t", "bnd"])
 @pytest.mark.parametrize("sq,skv,d", [
     (256, 256, 40),    # self-attn shape (reduced)
     (256, 768, 40),    # attn3 with 3-ref kv concat
     (512, 256, 80),
 ])
-def test_matches_xla(sq, skv, d):
+def test_matches_xla(sq, skv, d, variant):
     rng = np.random.RandomState(0)
     b, h = 2, 2
     q = jnp.asarray(rng.randn(b, h, sq, d), dtype=jnp.float32)
@@ -24,9 +25,60 @@ def test_matches_xla(sq, skv, d):
     scale = d ** -0.5
     ref = xla_attention(q, k, v, scale)
     out = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128,
-                          interpret=True)
+                          interpret=True, variant=variant)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
                                atol=2e-3)
+
+
+@pytest.mark.parametrize("variant", ["online_t", "bnd"])
+def test_variant_grads_and_mask(variant):
+    """Transposed-forward variants: gradients + block mask vs XLA."""
+    rng = np.random.RandomState(7)
+    b, h, sq, skv, d = 2, 2, 256, 768, 40
+    q = jnp.asarray(rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    g = jnp.asarray(rng.randn(b, h, sq, d), dtype=jnp.float32)
+    scale = d ** -0.5
+    bm = jnp.asarray([[1.0, 0.0, 1.0], [1.0, 1.0, 0.0]])
+    mask = jnp.repeat(bm.astype(bool), skv // 3, axis=1)[:, None, None, :]
+
+    out = flash_attention(q, k, v, scale=scale, block_q=128, block_k=256,
+                          interpret=True, variant=variant, block_mask=bm)
+    ref = xla_attention(q, k, v, scale, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+    def floss(q, k, v):
+        return (flash_attention(q, k, v, scale=scale, block_q=128,
+                                block_k=256, interpret=True,
+                                variant=variant) * g).sum()
+
+    def rloss(q, k, v):
+        return (xla_attention(q, k, v, scale) * g).sum()
+
+    gs = jax.grad(floss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(rloss, argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=5e-3,
+                                   atol=5e-3)
+
+
+def test_bnd_validity_domain():
+    """The stats-free "bnd" variant is exact while logits stay inside the
+    fp32 exp2 range below its Cauchy-Schwarz row bound; amplified inputs
+    leave that domain (documented), online_t stays exact there."""
+    rng = np.random.RandomState(3)
+    b, h, sq, skv, d = 1, 1, 128, 256, 40
+    q = jnp.asarray(8 * rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = jnp.asarray(8 * rng.randn(b, h, skv, d), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    scale = d ** -0.5
+    ref = xla_attention(q, k, v, scale)
+    exact = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128,
+                            interpret=True, variant="online_t")
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_bf16_io():

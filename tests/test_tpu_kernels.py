@@ -1,0 +1,44 @@
+"""On-TPU Mosaic-compiled kernel numerics (VERDICT.md round-1 weak #7).
+
+The suite itself runs on a virtual CPU mesh (conftest pins
+jax_platforms=cpu), so this test drives scripts/tpu_kernel_check.py in a
+subprocess with a clean environment: on a machine with a reachable TPU the
+kernels compile via Mosaic and are checked against the on-chip fp32 XLA
+path (forward + backward, masked + unmasked, all forward variants);
+without a TPU the test skips.
+"""
+import functools
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SCRIPT = os.path.join(_REPO, "scripts", "tpu_kernel_check.py")
+
+
+@functools.lru_cache(maxsize=1)
+def _run_check():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    return subprocess.run([sys.executable, _SCRIPT], capture_output=True,
+                          text=True, timeout=900, env=env)
+
+
+def _result():
+    proc = _run_check()
+    for line in proc.stdout.strip().splitlines()[::-1]:
+        if line.startswith("{"):
+            return proc, json.loads(line)
+    return proc, None
+
+
+def test_flash_kernels_on_tpu():
+    proc, res = _result()
+    if proc.returncode == 2 or (res and res.get("reason", "").startswith(
+            "no TPU")):
+        pytest.skip("no TPU reachable")
+    assert res is not None, proc.stdout + proc.stderr
+    assert res["ok"], res
