@@ -1,0 +1,128 @@
+"""bnd2 prototype: bounded transposed flash WITHOUT the host-side q/k/v
+concats — the per-row bound rides as a separate (BH, nq, 8, BQ) row input
+(like the backward's lse rows) and the softmax row-sum is an in-kernel
+sublane reduce instead of a ones-column of v. Cuts ~5 host ops + 3
+materialized copies per attention call.
+
+Usage: python scripts/bench_attn_bnd2.py
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+LOG2E = 1.4426950408889634
+DS = ("parallel", "parallel", "arbitrary")
+
+
+def _bnd2_kernel(bound_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
+                 num_kv_blocks):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    s_t = jax.lax.dot_general(
+        k_ref[0], q_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (BK, BQ)
+    p_t = jnp.exp2(s_t - bound_ref[0, 0, :1, :])
+    l_ref[:1, :] += jnp.sum(p_t, axis=0, keepdims=True)
+    acc_ref[:] += jax.lax.dot_general(
+        v_ref[0], p_t.astype(v_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (D, BQ)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _fin():
+        o_ref[0] = (acc_ref[:]
+                    / jnp.maximum(l_ref[:1, :], 1e-30)).astype(o_ref.dtype)
+
+
+def bnd2_attention(q, k, v, *, sm_scale, bq=1024, bk=1024):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    qf32 = q.astype(jnp.float32) * (sm_scale * LOG2E)
+    kf32 = k.astype(jnp.float32)
+    k_mean = kf32.mean(axis=2, keepdims=True)
+    rmax = jnp.sqrt(jnp.sum((kf32 - k_mean) ** 2, -1)).max(
+        axis=2, keepdims=True)
+    bound = (jnp.einsum("bhqd,bhkd->bhq", qf32, k_mean)
+             + jnp.sqrt(jnp.sum(qf32 * qf32, -1)) * rmax)    # (b,h,sq)
+    nq, nk = sq // bq, skv // bk
+    bound_rows = jnp.broadcast_to(
+        bound.reshape(b * h, nq, 1, bq), (b * h, nq, 8, bq))
+    qe = qf32.astype(q.dtype).reshape(b * h, sq, d)
+    ke = k.reshape(b * h, skv, d)
+    ve = v.reshape(b * h, skv, d)
+    out = pl.pallas_call(
+        functools.partial(_bnd2_kernel, num_kv_blocks=nk),
+        grid=(b * h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, bq), lambda i, j, kk: (i, j, 0, 0)),
+            pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0))],
+        out_specs=pl.BlockSpec((1, d, bq), lambda i, j, kk: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+        scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32),
+                        pltpu.VMEM((8, bq), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=DS),
+    )(bound_rows, qe, ke, ve)
+    return out.reshape(b, h, d, sq).transpose(0, 1, 3, 2)
+
+
+def main():
+    from scripts.bench_attn_scan import scan_time, xla_attn
+    from storygen_tpu.ops.pallas_attention import flash_attention
+
+    shapes = [("attn3_L1", 3, 8, 4096, 12288, 40),
+              ("attn1_L1_ref", 6, 8, 4096, 4096, 40),
+              ("attn1_L1_main", 3, 8, 4096, 4096, 40),
+              ("attn3_L2", 3, 8, 1024, 3072, 80),
+              ("attn1_L2_ref", 6, 8, 1024, 1024, 80)]
+    rng = jax.random.PRNGKey(0)
+    for name, b, h, sq, skv, d in shapes:
+        ks = jax.random.split(rng, 3)
+        q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (b, h, skv, d), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (b, h, skv, d), jnp.bfloat16)
+        sm = d ** -0.5
+        flops = 4 * b * h * sq * skv * d
+        ref = xla_attn(q.astype(jnp.float32), k.astype(jnp.float32),
+                       v.astype(jnp.float32), sm)
+        for label, fn in [
+                ("bnd", functools.partial(flash_attention, scale=sm,
+                                          variant="bnd")),
+                ("bnd2", functools.partial(bnd2_attention, sm_scale=sm)),
+                ("bnd2 bk2048" if skv % 2048 == 0 else "skip",
+                 functools.partial(bnd2_attention, sm_scale=sm, bk=2048))]:
+            if label == "skip":
+                continue
+            try:
+                out = fn(q, k, v)
+                err = float(jnp.abs(out.astype(jnp.float32) - ref).max())
+                dt = scan_time(fn, q, k, v)
+                print(f"{name:14s} {label:12s} {dt*1e3:7.3f} ms "
+                      f"{flops/dt/1e12:6.1f} TF/s maxerr {err:.2e}",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:14s} {label:12s} FAILED {type(e).__name__}: "
+                      f"{str(e)[:80]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

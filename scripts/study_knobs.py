@@ -1,0 +1,110 @@
+"""Quantify the opt-in speed/quality knobs (VERDICT.md round-1 #8).
+
+Generates fixed-seed story frames with the exact reference-parity sampler
+and with each accelerating knob, then reports per-knob drift vs the exact
+path plus measured speed. Weights are random-init (no SD weights in this
+sandbox) — that still pins the *numerical* divergence each knob introduces
+along the same sampling trajectory (same seed, same noise, same schedule):
+
+  - latent RMSE between final latents (pre-VAE), relative to the exact
+    path's latent RMS (scale-free),
+  - decoded-pixel mean abs diff in [0,1] units,
+  - frames/s measured on the chip for each knob.
+
+Knobs: ref_feature_interval=2 (VLCM features refreshed every 2nd step),
+dpm++ 25 steps (DDIM-50-comparable sampler), and their composition.
+
+Usage: python scripts/study_knobs.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from storygen_tpu.configs import UNetConfig, VAEConfig
+    from storygen_tpu.models.unet import UNet2DConditionModel
+    from storygen_tpu.models.vae import AutoencoderKL
+    from storygen_tpu.pipeline import StoryGenSampler
+
+    rng = jax.random.PRNGKey(0)
+    b, n_refs, hw = 1, 3, 64
+    unet = UNet2DConditionModel(config=UNetConfig(), dtype=jnp.bfloat16)
+    unet_params = jax.jit(unet.init)(
+        rng, jnp.zeros((1, 16, 16, 4)), jnp.asarray([0]),
+        jnp.zeros((1, 77, 768)))
+    vae = AutoencoderKL(config=VAEConfig(), dtype=jnp.bfloat16)
+    vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          {"unet": unet_params, "vae": vae_params})
+    sampler = StoryGenSampler(unet, vae)
+
+    ks = jax.random.split(rng, 8)
+    latents = jax.random.normal(ks[0], (b, hw, hw, 4), jnp.float32)
+    text_u = jax.random.normal(ks[1], (b, 77, 768), jnp.float32) * 0.02
+    text_c = jax.random.normal(ks[2], (b, 77, 768), jnp.float32) * 0.02
+    refs = jax.random.normal(ks[3], (n_refs, b, hw, hw, 4), jnp.float32)
+    zero = jax.random.normal(ks[4], (b, hw, hw, 4), jnp.float32) * 0.01
+    prev_u = jnp.tile(text_u[:, None], (1, n_refs, 1, 1))
+    prev_c = jnp.tile(text_c[:, None], (1, n_refs, 1, 1))
+    noise = jax.random.normal(ks[6], (b, hw, hw, 4), jnp.float32)
+
+    def run(steps, smp, interval):
+        lat = sampler.sample(
+            params, latents, text_u, text_c, refs, zero, prev_u, prev_c,
+            noise, jnp.float32(7.0), jnp.float32(3.5),
+            stage="auto-regressive", num_inference_steps=steps,
+            sampler=smp, ref_feature_interval=interval)
+        return lat
+
+    def timed(fn):
+        out = fn()
+        jax.device_get(out)  # warm/compile
+        t0 = time.perf_counter()
+        out = fn()
+        jax.device_get(out)
+        return out, time.perf_counter() - t0
+
+    configs = [
+        ("exact_ddim50", 50, "ddim", 1),
+        ("interval2", 50, "ddim", 2),
+        ("dpmpp25", 25, "dpm++", 1),
+        ("dpmpp25_interval2", 25, "dpm++", 2),
+    ]
+    results = {}
+    base_lat = None
+    base_px = None
+    for name, steps, smp, interval in configs:
+        lat, dt = timed(lambda: run(steps, smp, interval))
+        px = sampler.decode(params["vae"], lat)
+        lat = jax.device_get(lat).astype("float32")
+        px = jax.device_get(px).astype("float32")
+        if base_lat is None:
+            base_lat, base_px = lat, px
+        rms = float(((base_lat ** 2).mean()) ** 0.5)
+        drift = float((((lat - base_lat) ** 2).mean()) ** 0.5) / max(rms,
+                                                                     1e-9)
+        pxdiff = float(abs(px - base_px).mean())
+        results[name] = {
+            "frames_per_s": round(1.0 / dt, 4),
+            "latent_rel_rmse_vs_exact": round(drift, 4),
+            "pixel_mad_vs_exact": round(pxdiff, 4),
+        }
+        print(name, results[name], flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

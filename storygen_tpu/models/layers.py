@@ -62,28 +62,49 @@ class TimestepEmbedding(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 statistics regardless of compute dtype."""
+    """GroupNorm with fp32 statistics regardless of compute dtype.
+
+    TPU layout note: stats are computed as per-CHANNEL spatial moments
+    (lane-preserving sublane reductions over the NHWC layout) folded into
+    per-group moments on a tiny (B, C) tensor — the naive
+    (B, *, groups, C/groups) reshape forces an XLA relayout copy on TPU
+    (C/groups = 10 lanes at C=320), measured at ~2x the bandwidth floor
+    per norm site (scripts/profile_sampler.py). The group stats then fold
+    with the affine into one per-channel (a, b), applied in a single
+    elementwise pass; `act="silu"` fuses the activation into that pass
+    (diffusers ResnetBlock2D always follows GN with SiLU).
+    """
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         orig_dtype = x.dtype
         c = x.shape[-1]
+        b = x.shape[0]
+        g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         xf = x.astype(jnp.float32)
-        spatial = xf.shape[1:-1]
-        g = self.num_groups
-        xg = xf.reshape(xf.shape[0], *spatial, g, c // g)
-        red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-        mean = jnp.mean(xg, axis=red_axes, keepdims=True)
-        var = jnp.var(xg, axis=red_axes, keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        xf = xg.reshape(xf.shape)
-        xf = xf * scale + bias
-        return xf.astype(orig_dtype)
+        red_axes = tuple(range(1, x.ndim - 1))
+        n_per_group = (math.prod(x.shape[1:-1])) * (c // g)
+        s1 = jnp.sum(xf, axis=red_axes)               # (B, C)
+        s2 = jnp.sum(xf * xf, axis=red_axes)          # (B, C)
+        gmean = s1.reshape(b, g, c // g).sum(-1) / n_per_group     # (B, g)
+        gex2 = s2.reshape(b, g, c // g).sum(-1) / n_per_group
+        gvar = jnp.maximum(gex2 - gmean * gmean, 0.0)
+        ginv = jax.lax.rsqrt(gvar + self.epsilon)                  # (B, g)
+        mean_c = jnp.repeat(gmean, c // g, axis=1)                 # (B, C)
+        inv_c = jnp.repeat(ginv, c // g, axis=1)
+        a = inv_c * scale[None]                                    # (B, C)
+        bshift = bias[None] - mean_c * a
+        bc_shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        y = xf * a.reshape(bc_shape) + bshift.reshape(bc_shape)
+        if self.act == "silu":
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(orig_dtype)
 
 
 class Conv2D(nn.Module):
@@ -119,16 +140,16 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array]) -> jax.Array:
         in_channels = x.shape[-1]
-        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, act="silu",
+                      name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
                                  name="time_emb_proj")(nn.silu(temb))
             h = h + temb_proj[:, None, None, :]
-        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, act="silu",
+                      name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:

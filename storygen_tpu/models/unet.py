@@ -191,8 +191,8 @@ class UNet2DConditionModel(nn.Module):
 
         # 6. out
         sample = GroupNorm(cfg.norm_num_groups, cfg.norm_eps,
-                           dtype=self.dtype, name="conv_norm_out")(sample)
-        sample = nn.silu(sample)
+                           dtype=self.dtype, act="silu",
+                           name="conv_norm_out")(sample)
         p = (cfg.conv_out_kernel - 1) // 2
         sample = nn.Conv(cfg.out_channels,
                          (cfg.conv_out_kernel, cfg.conv_out_kernel),

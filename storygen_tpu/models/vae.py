@@ -33,12 +33,12 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_channels = x.shape[-1]
-        h = GroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, 1e-6, dtype=self.dtype, act="silu",
+                      name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(self.groups, 1e-6, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(self.groups, 1e-6, dtype=self.dtype, act="silu",
+                      name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
@@ -152,8 +152,7 @@ class Encoder(nn.Module):
         x = MidBlock(cfg.block_out_channels[-1], groups=cfg.norm_num_groups,
                      dtype=self.dtype, name="mid_block")(x)
         x = GroupNorm(cfg.norm_num_groups, 1e-6, dtype=self.dtype,
-                      name="conv_norm_out")(x)
-        x = nn.silu(x)
+                      act="silu", name="conv_norm_out")(x)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3),
                     padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name="conv_out")(x)
@@ -179,8 +178,7 @@ class Decoder(nn.Module):
                                  add_upsample=not is_final, dtype=self.dtype,
                                  name=f"up_blocks_{i}")(x)
         x = GroupNorm(cfg.norm_num_groups, 1e-6, dtype=self.dtype,
-                      name="conv_norm_out")(x)
-        x = nn.silu(x)
+                      act="silu", name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv_out")(x)
         return x

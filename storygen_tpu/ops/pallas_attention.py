@@ -111,6 +111,43 @@ def _bnd_masked_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
                 num_kv_blocks=num_kv_blocks, mask_ref=mask_ref)
 
 
+def _bnd2_kernel(bound_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
+                 num_kv_blocks: int, mask_ref=None):
+    """Row-input bounded kernel: the per-row bound arrives as a
+    sublane-replicated (1, 1, 8, BQ) row (no q/k/v column concats on the
+    host) and the softmax row sum is an in-kernel sublane reduce. Faster
+    than the ones-column form when num_kv_blocks >= 2 (measured in
+    scripts/bench_attn_bnd2.py) and cuts ~5 host ops per call."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    s_t = jax.lax.dot_general(
+        k_ref[0], q_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (BK, BQ)
+    p_t = jnp.exp2(s_t - bound_ref[0, 0, :1, :])
+    if mask_ref is not None:
+        p_t = p_t * mask_ref[pl.program_id(0), ki]
+    l_ref[:1, :] += jnp.sum(p_t, axis=0, keepdims=True)
+    acc_ref[:] += jax.lax.dot_general(
+        v_ref[0], p_t.astype(v_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (D, BQ)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _fin():
+        o_ref[0] = (acc_ref[:]
+                    / jnp.maximum(l_ref[:1, :], 1e-30)).astype(o_ref.dtype)
+
+
+def _bnd2_masked_kernel(mask_ref, bound_ref, q_ref, k_ref, v_ref, o_ref,
+                        acc_ref, l_ref, *, num_kv_blocks: int):
+    _bnd2_kernel(bound_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref,
+                 num_kv_blocks=num_kv_blocks, mask_ref=mask_ref)
+
+
 def _online_t_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                      num_kv_blocks: int, mask_ref=None):
     """Transposed exact online softmax: per-q-row stats live on the LANE
@@ -263,6 +300,34 @@ def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
         rmax = resid.max(axis=2, keepdims=True)                # (b,h,1)
         bound = (jnp.einsum("bhqd,bhkd->bhq", qf32, k_mean)
                  + jnp.sqrt(jnp.sum(qf32 * qf32, -1)) * rmax)  # (b,h,sq)
+        if nk >= 2:
+            # row-input form: no q/k/v column concats, row sum in-kernel
+            nq = sq // bq
+            bound_rows = jnp.broadcast_to(
+                bound.reshape(b * h, nq, 1, bq), (b * h, nq, 8, bq))
+            qe = qf32.astype(q.dtype).reshape(b * h, sq, d)
+            ke = k.reshape(b * h, skv, d)
+            ve = v.reshape(b * h, skv, d)
+            kern = _bnd2_masked_kernel if masked else _bnd2_kernel
+            out = pl.pallas_call(
+                functools.partial(kern, num_kv_blocks=nk),
+                grid=grid,
+                in_specs=[
+                    *mask_specs,
+                    pl.BlockSpec((1, 1, 8, bq),
+                                 lambda i, j, kk: (i, j, 0, 0)),
+                    pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+                    pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
+                    pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0))],
+                out_specs=pl.BlockSpec((1, d, bq),
+                                       lambda i, j, kk: (i, 0, j)),
+                out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+                scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32),
+                                pltpu.VMEM((8, bq), jnp.float32)],
+                compiler_params=params,
+                interpret=interpret,
+            )(*mask_args, bound_rows, qe, ke, ve)
+            return out.reshape(b, h, d, sq).transpose(0, 1, 3, 2)
         qe = jnp.concatenate(
             [qf32, -bound[..., None]], -1).astype(q.dtype)
         ones = jnp.ones((b, h, skv, 1), k.dtype)
