@@ -30,6 +30,9 @@ def main():
                     help="optional YOLO person-detector weights")
     ap.add_argument("--face_onnx", default=None,
                     help="optional cv2.FaceDetectorYN ONNX file")
+    ap.add_argument("--caption_ckpt", default=None,
+                    help="local HF image-to-text checkpoint folder for "
+                         "the caption stage")
     args = ap.parse_args()
     stages = set(args.stages.split(","))
 
@@ -42,16 +45,12 @@ def main():
 
     embed_fn = None
     if "dedup" in stages:
-        try:
-            embed_fn = dedup.dino_embedder()
-        except Exception as e:
-            print(f"[dedup] DINO unavailable ({e}); using CLIP-free "
-                  "pixel-difference fallback")
-            import numpy as np
+        embed_fn = dedup.default_embedder()
 
-            def embed_fn(batch):
-                small = batch[:, ::14, ::14].reshape(len(batch), -1)
-                return small
+    caption_model = None
+    if "caption" in stages and args.caption_ckpt:
+        from storygen_tpu.data_process import caption as caption_mod
+        caption_model = caption_mod.hf_captioner(args.caption_ckpt)
 
     inpainter = None
     if "inpaint" in stages and args.ckpt:
@@ -116,6 +115,13 @@ def main():
                                         bundle["text_encoder"], tok, img, m)
                 Image.fromarray((out * 255).astype(np.uint8)).save(f)
             print(f"[{story}] inpainted masked regions")
+
+        if "caption" in stages and caption_model and frames:
+            from storygen_tpu.data_process import caption as caption_mod
+            cap_dir = os.path.join(args.out, "Text", "Caption", story)
+            caps = caption_mod.caption_story(frames, caption_model,
+                                             out_dir=cap_dir)
+            print(f"[{story}] captioned {len(caps)} frames -> {cap_dir}")
 
         if "align" in stages:
             vtt = os.path.join(args.videos, story + ".vtt")

@@ -51,3 +51,47 @@ def caption_story(frame_paths: Sequence[str], caption_model: Callable,
             with open(os.path.join(out_dir, stem + ".txt"), "w") as f:
                 f.write(cap)
     return captions
+
+
+def hf_captioner(checkpoint_dir: str, max_new_tokens: int = 60,
+                 device: str = "cpu") -> Callable:
+    """Adapter for any local HuggingFace image-to-text checkpoint folder
+    (BLIP-style conditional generation: processor + AutoModel). Fills the
+    role of the reference's external TextBind/MiniGPT-v2 drivers
+    (TextBind/main_caption.py:80-164) for deployments that have a local
+    VLM checkpoint; the narrative-context prompting above is shared.
+
+    Returns `caption_model(image, prompt_text) -> str` for caption_story.
+    """
+    import torch
+    from transformers import AutoProcessor
+
+    processor = AutoProcessor.from_pretrained(checkpoint_dir)
+    model = _load_vision2seq(checkpoint_dir).to(device).eval()
+
+    def fn(image, prompt: str) -> str:
+        # BLIP conditions on a short text prefix; long narrative prompts
+        # are truncated by the processor's tokenizer limits.
+        inputs = processor(images=image, text=prompt,
+                           return_tensors="pt", truncation=True,
+                           max_length=512).to(device)
+        with torch.no_grad():
+            out = model.generate(**inputs, max_new_tokens=max_new_tokens)
+        text = processor.batch_decode(out, skip_special_tokens=True)[0]
+        # strip the echoed prompt prefix if the model returns it
+        return text[len(prompt):].strip() if text.startswith(prompt) \
+            else text.strip()
+
+    return fn
+
+
+def _load_vision2seq(checkpoint_dir: str):
+    from transformers import AutoConfig
+    cfg = AutoConfig.from_pretrained(checkpoint_dir)
+    arch = (cfg.architectures or [""])[0]
+    import transformers
+    cls = getattr(transformers, arch, None)
+    if cls is None:
+        from transformers import AutoModelForVision2Seq
+        return AutoModelForVision2Seq.from_pretrained(checkpoint_dir)
+    return cls.from_pretrained(checkpoint_dir)

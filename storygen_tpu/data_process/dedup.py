@@ -67,3 +67,42 @@ def dino_embedder(repo_or_dir: str = "facebookresearch/dino:main",
             return net(x).numpy()
 
     return fn
+
+
+def classical_embedder(grid: int = 16):
+    """Weights-free default embedder: downsampled grayscale intensities
+    concatenated with coarse gradient-orientation histograms. Near-exact
+    duplicates (the dup_remove.py target: consecutive I-frames of a still
+    scene) land at cosine ~1 while scene cuts fall well below the 0.75
+    threshold; no external weights needed (DINO stays the high-fidelity
+    option when torch-hub weights are cached, dup_remove.py:18)."""
+    def fn(batch: np.ndarray) -> np.ndarray:
+        gray = batch.mean(-1)  # (B, H, W) in [0,1]
+        b, h, w = gray.shape
+        small = gray.reshape(b, grid, h // grid, grid,
+                             w // grid).mean((2, 4))      # (B, g, g)
+        # center per image so cosine measures pattern correlation, not
+        # the shared DC brightness
+        small = small - small.mean(axis=(1, 2), keepdims=True)
+        gy, gx = np.gradient(gray, axis=(1, 2))
+        mag = np.sqrt(gx * gx + gy * gy)
+        ang = np.arctan2(gy, gx)  # [-pi, pi]
+        nbins = 8
+        bins = ((ang + np.pi) / (2 * np.pi) * nbins).astype(int) % nbins
+        hist = np.zeros((b, nbins), np.float32)
+        for k in range(nbins):
+            hist[:, k] = (mag * (bins == k)).reshape(b, -1).sum(1)
+        hist /= hist.sum(1, keepdims=True) + 1e-8
+        feat = np.concatenate([small.reshape(b, -1), hist * grid], axis=1)
+        return feat.astype(np.float32)
+
+    return fn
+
+
+def default_embedder():
+    """DINO when its torch-hub weights are cached, else the classical
+    weights-free embedder."""
+    try:
+        return dino_embedder()
+    except Exception:
+        return classical_embedder()
