@@ -18,6 +18,10 @@ def main():
                     default=True)
     ap.add_argument("--no-remat", dest="remat", action="store_false")
     ap.add_argument("--attn", default="auto", choices=["auto", "xla"])
+    ap.add_argument("--variant", default="online_t",
+                    choices=["online_t", "bnd", "grid"],
+                    help="flash forward variant (training default "
+                         "online_t, matching trainer.build_models)")
     ap.add_argument("--precomputed", action="store_true",
                     help="train from precomputed VAE latent moments")
     ap.add_argument("--iters", type=int, default=5)
@@ -40,6 +44,8 @@ def main():
     from storygen_tpu.training import optim, steps
     from storygen_tpu.ops.attention import set_default_backend
     set_default_backend(args.attn)
+    from storygen_tpu.ops import pallas_attention
+    pallas_attention.FORWARD_VARIANT = args.variant
 
     rng = jax.random.PRNGKey(0)
     dtype = jnp.bfloat16

@@ -102,6 +102,10 @@ def main():
         print(f"{c:24s} {s/1e3/steps:>7.2f} ms/step {100*s/total:>5.1f}%  "
               f"({len(ts)} ops)")
 
+    with open("/tmp/opstats_loop.tsv", "w") as f:
+        for r in dev:
+            f.write(f"{r[i_op]}\t{float(r[i_self]):.1f}\n")
+
     dev.sort(key=lambda r: -float(r[i_self]))
     print("\ntop unattributed/misc ops:")
     shown = 0

@@ -186,6 +186,10 @@ class TrainConfig:
     mesh_axes: Tuple[str, ...] = ("data",)
     remat: bool = True
     attn_backend: Optional[str] = None  # None='auto' (flash when it wins)
+    # Flash forward variant for training: "online_t" (exact online
+    # softmax — safe under divergence) by default; "bnd" is ~3% faster
+    # but zeroes attention silently if logits leave its bound domain.
+    attn_variant: str = "online_t"
     loader_threads: int = 8
     validation_sample_logger: Optional[dict] = None
 

@@ -111,11 +111,12 @@ def build_models(cfg: TrainConfig, dtype=jnp.float32):
     bundle["unet"] = UNet2DConditionModel(
         config=bundle["unet_config"], dtype=dtype, remat=cfg.remat,
         attn_backend=cfg.attn_backend)
-    # Training pins the unconditionally-exact flash forward: a diverging
-    # run can push logits outside the "bnd" variant's exp2 domain, where
-    # it would silently return zeros instead of saturated attention.
+    # Training pins the unconditionally-exact flash forward by default
+    # (cfg.attn_variant="online_t"): a diverging run can push logits
+    # outside the "bnd" variant's exp2 domain, where it would silently
+    # return zeros instead of saturated attention.
     from storygen_tpu.ops import pallas_attention
-    pallas_attention.FORWARD_VARIANT = "online_t"
+    pallas_attention.FORWARD_VARIANT = cfg.attn_variant
     return bundle
 
 
