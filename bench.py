@@ -62,22 +62,30 @@ def main():
     prev_c = jax.random.normal(ks[6], (n_refs, b, 77, 768), jnp.float32) * 0.02
     noise = jax.random.normal(ks[7], (b, hw, hw, 4), jnp.float32)
 
-    def run():
-        lat = sampler.sample(params, latents, text_u, text_c, refs, zero,
-                             prev_u, prev_c, noise, jnp.asarray(7.0),
+    def run(lat0, nz):
+        lat = sampler.sample(params, lat0, text_u, text_c, refs, zero,
+                             prev_u, prev_c, nz, jnp.asarray(7.0),
                              jnp.asarray(3.5), stage="auto-regressive",
                              num_inference_steps=steps)
         img = sampler.decode(params["vae"], lat)
-        return img
+        return img, img.mean()
+
+    # Each timed iteration gets DISTINCT inputs, chained through the
+    # previous output: the serving tunnel elides repeated identical
+    # launches, so timing the same call N times measures nothing.
+    n_iters = 3
+    iter_keys = jax.random.split(jax.random.PRNGKey(42), n_iters + 1)
+    lat_list = [jax.random.normal(k, (b, hw, hw, 4), jnp.float32)
+                for k in iter_keys]
 
     # warmup / compile
-    run().block_until_ready()
+    _, m = run(lat_list[-1], noise)
+    jax.device_get(m)
 
-    n_iters = 3
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = run()
-    out.block_until_ready()
+    for i in range(n_iters):
+        _, m = run(lat_list[i] + m.astype(jnp.float32) * 1e-6, noise)
+    jax.device_get(m)
     dt = (time.perf_counter() - t0) / n_iters
 
     frames_per_sec = b / dt

@@ -1,10 +1,16 @@
 """Per-site conv microbench for the SD-1.5 UNet at the sampler operating
 point (512px latents, ref pass batch 6 + main pass batch 3).
 
-Measures XLA's NHWC bf16 conv_general_dilated TFLOP/s per site so conv
-optimization work (Pallas implicit-GEMM kernels, upsample phase rewrite)
-targets the sites that actually waste time. Run on the chip:
-    python scripts/bench_conv.py
+WARNING: wall-clock timing of sub-millisecond kernels through the axon
+serving tunnel is unreliable — the tunnel has a ~30 ms dispatch floor
+with tens-of-ms jitter, and elides repeated identical launches. Numbers
+here are only meaningful for aggregate times >> the dispatch floor. For
+per-site ground truth use the xprof device self-times instead
+(scripts/profile_sampler.py dumps /tmp/opstats_loop.tsv); that profile
+puts the UNet's convs at 108-170 TF/s (55-86% of v5e bf16 peak), which
+is why no custom Pallas conv kernel ships: XLA's implicit-GEMM convs are
+already within ~1.3x of the practical ceiling, and Pallas BlockSpecs
+cannot express the overlapping halo reads a fused 3x3 conv needs.
 """
 import os
 import sys

@@ -87,6 +87,35 @@ def main():
             results[f"{variant}_{name}_relerr"] = e
             ok &= e < TOL_BWD
 
+    # out_layout="bhds" (the head-merge-fold path CrossAttention uses)
+    fwd_t = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, scale=scale, out_layout="bhds"))
+    err_t = float(jnp.abs(
+        fwd_t(q, k, v).transpose(0, 1, 3, 2).astype(jnp.float32)
+        - ref).max())
+    results["bhds_fwd"] = err_t
+    ok &= err_t < TOL_FWD
+
+    # fused GEGLU + output-projection GEMM kernel
+    from storygen_tpu.ops.pallas_geglu import geglu_matmul
+    m, n, e = 1024, 1280, 320
+    kg = jax.random.split(rng, 3)
+    proj = jax.random.normal(kg[0], (m, 2 * n), jnp.bfloat16)
+    w2 = (jax.random.normal(kg[1], (n, e), jnp.bfloat16) * 0.03)
+    bias2 = jax.random.normal(kg[2], (e,), jnp.bfloat16)
+
+    def geglu_ref(proj, w2, bias2):
+        pf = proj.astype(jnp.float32)
+        value, gate = pf[:, :n], pf[:, n:]
+        gated = value * jax.nn.gelu(gate, approximate=False)
+        return gated @ w2.astype(jnp.float32) + bias2.astype(jnp.float32)
+
+    got = jax.jit(geglu_matmul)(proj, w2, bias2).astype(jnp.float32)
+    want = jax.jit(geglu_ref)(proj, w2, bias2)
+    ge = float(jnp.abs(got - want).max() / (jnp.abs(want).max() + 1e-6))
+    results["geglu_relerr"] = ge
+    ok &= ge < TOL_FWD
+
     print(json.dumps({"ok": bool(ok), "backend": backend,
                       "shape": [b, h, sq, skv, d], **results}))
     return 0 if ok else 1

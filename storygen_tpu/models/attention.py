@@ -33,6 +33,32 @@ from storygen_tpu.ops.attention import multi_head_attention
 Dtype = Any
 
 
+class _OutProj(nn.Module):
+    """Output projection that accepts either attention output layout.
+
+    Parameters are identical to nn.Dense(features) — kernel (K, features)
+    + bias — so checkpoint import/export is unchanged. For the flash
+    kernels' native "feat" layout (B, K, S) it contracts K as a K-major
+    GEMM (MXU-native lhs-transposed dot), avoiding the (B, H, D, S) ->
+    (B, S, H*D) relayout copy the "seq" path would pay."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, layout: str) -> jax.Array:
+        k_dim = x.shape[-1] if layout == "seq" else x.shape[1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k_dim, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        if layout == "seq":
+            y = x @ kernel
+        else:  # (B, K, S) -> (B, S, features)
+            y = jax.lax.dot_general(x, kernel, (((1,), (0,)), ((), ())))
+        return y + bias.astype(self.dtype)
+
+
 class CrossAttention(nn.Module):
     """QKV-projected multi-head attention (diffusers CrossAttention parity;
     used at model/attention.py:175,192,215). No bias on q/k/v, bias on out."""
@@ -57,22 +83,59 @@ class CrossAttention(nn.Module):
                      name="to_k")(context)
         v = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype,
                      name="to_v")(context)
-        out = multi_head_attention(q, k, v, self.heads, mask=mask,
-                                   ref_mask=ref_mask, backend=self.backend)
-        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+        out, layout = multi_head_attention(
+            q, k, v, self.heads, mask=mask, ref_mask=ref_mask,
+            backend=self.backend, out_layout="auto")
+        return _OutProj(self.query_dim, dtype=self.dtype,
+                        name="to_out_0")(out, layout)
 
 
 class GEGLU(nn.Module):
     """x W1 * gelu(x W2), packed as one (dim -> 2*inner) projection
-    (model/attention.py:373-393; chunk order: value first, gate second)."""
+    (model/attention.py:373-393; chunk order: value first, gate second).
+
+    With return_proj=True only the packed projection is returned — the
+    gate runs inside the fused Pallas GEGLU+GEMM kernel instead (see
+    FeedForward)."""
     dim_out: int
     dtype: Dtype = jnp.float32
+    return_proj: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         proj = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        if self.return_proj:
+            return proj
         value, gate = jnp.split(proj, 2, axis=-1)
         return value * nn.gelu(gate, approximate=False)
+
+
+class _Net2(nn.Module):
+    """ff output projection; parameters identical to nn.Dense(features).
+
+    mode "fused": input is the packed (…, 2*inner) GEGLU projection and
+    the gate + GEMM run in one Pallas kernel (ops/pallas_geglu.py) — the
+    gated product never exists in HBM. mode "plain": standard Dense over
+    the pre-gated activations."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mode: str) -> jax.Array:
+        k_dim = x.shape[-1] // 2 if mode == "fused" else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k_dim, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if mode == "fused":
+            from storygen_tpu.ops.pallas_geglu import geglu_matmul
+            lead = x.shape[:-1]
+            flat = x.reshape(-1, x.shape[-1])
+            out = geglu_matmul(flat, kernel, bias)
+            return out.reshape(*lead, self.features)
+        return x @ kernel + bias
 
 
 class FeedForward(nn.Module):
@@ -83,8 +146,19 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        from storygen_tpu.ops import pallas_geglu
+        from storygen_tpu.ops.attention import _on_tpu
+        inner = self.dim * self.mult
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        fused = (pallas_geglu.ENABLED and _on_tpu()
+                 and pallas_geglu.supported(m, 2 * inner)
+                 and not self.is_initializing())
+        x = GEGLU(inner, dtype=self.dtype, return_proj=fused,
+                  name="net_0")(x)
+        return _Net2(self.dim, dtype=self.dtype, name="net_2")(
+            x, "fused" if fused else "plain")
 
 
 class LayerNorm(nn.Module):

@@ -62,7 +62,8 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          num_heads: int,
                          mask: Optional[jax.Array] = None,
                          ref_mask: Optional[jax.Array] = None,
-                         backend: Optional[str] = None) -> jax.Array:
+                         backend: Optional[str] = None,
+                         out_layout: str = "seq") -> jax.Array:
     """Full MHA over pre-projection tensors.
 
     Args:
@@ -72,8 +73,15 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
       ref_mask: optional (B, N) per-reference-frame keep flags for a kv
         made of N equal spans (attn3's kv-concat layout) — stays on the
         flash path as a block mask when spans tile into kv blocks.
-    Returns (B, Sq, H*D).
+      out_layout: "seq" -> (B, Sq, H*D); "feat" -> (B, H*D, Sq), the flash
+        kernels' native transposed layout, free of relayout copies — the
+        caller contracts the H*D axis directly in its output projection;
+        "auto" -> whichever is free for the chosen path, returned as an
+        (array, layout) tuple ("feat" on the flash path, "seq" on XLA).
+    Returns (B, Sq, H*D) for "seq", (B, H*D, Sq) for "feat", a tuple for
+    "auto".
     """
+    assert out_layout in ("seq", "feat", "auto"), out_layout
     backend = backend or _DEFAULT_BACKEND
     head_dim = q.shape[-1] // num_heads
     scale = head_dim ** -0.5
@@ -90,6 +98,13 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                 span_blocks = (skv // n) // bk
                 block_mask = jnp.repeat(ref_mask.astype(jnp.float32),
                                         span_blocks, axis=1)
+                if out_layout in ("feat", "auto"):
+                    out = flash_attention(qh, kh, vh, scale=scale,
+                                          block_k=bk, block_mask=block_mask,
+                                          out_layout="bhds")
+                    b, h, d, s_ = out.shape
+                    out = out.reshape(b, h * d, s_)
+                    return (out, "feat") if out_layout == "auto" else out
                 out = flash_attention(qh, kh, vh, scale=scale, block_k=bk,
                                       block_mask=block_mask)
                 return merge_heads(out)
@@ -106,10 +121,20 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             use_flash = flash_supported(sq, skv, has_mask=mask is not None)
     if use_flash:
         from storygen_tpu.ops.pallas_attention import flash_attention
+        if out_layout in ("feat", "auto"):
+            out = flash_attention(qh, kh, vh, scale=scale,
+                                  out_layout="bhds")
+            b, h, d, s_ = out.shape
+            out = out.reshape(b, h * d, s_)
+            return (out, "feat") if out_layout == "auto" else out
         out = flash_attention(qh, kh, vh, scale=scale)
     else:
         out = xla_attention(qh, kh, vh, scale, mask=mask)
-    return merge_heads(out)
+        if out_layout == "feat":
+            b, h, s_, d = out.shape
+            return out.transpose(0, 1, 3, 2).reshape(b, h * d, s_)
+    merged = merge_heads(out)
+    return (merged, "seq") if out_layout == "auto" else merged
 
 
 @functools.lru_cache(maxsize=1)

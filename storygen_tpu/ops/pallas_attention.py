@@ -273,10 +273,12 @@ def _broadcast_mask(block_mask, b, h, num_kv_blocks):
 
 
 def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
-                    bounded):
+                    bounded, out_t=False):
     """Driver for the "bnd"/"online_t" transposed kernels. Folds
     scale*log2(e) (and for bounded: the per-row logit bound and the
-    row-sum ones column) into the operands; returns (B, H, Sq, D)."""
+    row-sum ones column) into the operands; returns (B, H, Sq, D), or the
+    kernel's NATIVE (B, H, D, Sq) when out_t=True (callers fold the head
+    merge into the output projection instead of paying a relayout)."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
     nk = skv // bk
@@ -327,7 +329,8 @@ def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
                 compiler_params=params,
                 interpret=interpret,
             )(*mask_args, bound_rows, qe, ke, ve)
-            return out.reshape(b, h, d, sq).transpose(0, 1, 3, 2)
+            out = out.reshape(b, h, d, sq)
+            return out if out_t else out.transpose(0, 1, 3, 2)
         qe = jnp.concatenate(
             [qf32, -bound[..., None]], -1).astype(q.dtype)
         ones = jnp.ones((b, h, skv, 1), k.dtype)
@@ -373,14 +376,16 @@ def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
             compiler_params=params,
             interpret=interpret,
         )(*mask_args, qe, ke, ve)
-    return out.reshape(b, h, d, sq).transpose(0, 1, 3, 2)
+    out = out.reshape(b, h, d, sq)
+    return out if out_t else out.transpose(0, 1, 3, 2)
 
 
 @functools.partial(jax.custom_vjp,
                    nondiff_argnames=("scale", "block_q", "block_k",
-                                     "interpret", "masked", "variant"))
+                                     "interpret", "masked", "variant",
+                                     "out_t"))
 def _flash_core(q, k, v, block_mask, scale, block_q, block_k, interpret,
-                masked, variant):
+                masked, variant, out_t=False):
     """block_mask: (B, num_kv_blocks) float32 (1 keep / 0 drop); a (1, 1)
     dummy when masked=False."""
     b, h, sq, d = q.shape
@@ -391,7 +396,8 @@ def _flash_core(q, k, v, block_mask, scale, block_q, block_k, interpret,
 
     if variant in ("bnd", "online_t"):
         return _transposed_fwd(q, k, v, block_mask, scale, bq, bk,
-                               interpret, masked, bounded=variant == "bnd")
+                               interpret, masked,
+                               bounded=variant == "bnd", out_t=out_t)
 
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, skv, d)
@@ -430,7 +436,8 @@ def _flash_core(q, k, v, block_mask, scale, block_q, block_k, interpret,
             in_specs=[qspec, kvspec, kvspec],
             **common,
         )(qf, kf, vf)
-    return out.reshape(b, h, sq, d)
+    out = out.reshape(b, h, sq, d)
+    return out.transpose(0, 1, 3, 2) if out_t else out
 
 
 # ---------------------------------------------------------------- backward
@@ -634,16 +641,23 @@ def _pallas_bwd_with_out(q, k, v, block_mask, out, g, scale, bq, bk,
 
 
 def _core_fwd(q, k, v, block_mask, scale, block_q, block_k, interpret,
-              masked, variant):
+              masked, variant, out_t=False):
     out = _flash_core(q, k, v, block_mask, scale, block_q, block_k,
-                      interpret, masked, variant)
+                      interpret, masked, variant, out_t)
     return out, (q, k, v, block_mask, out)
 
 
-def _core_bwd(scale, block_q, block_k, interpret, masked, variant, res, g):
+def _core_bwd(scale, block_q, block_k, interpret, masked, variant, out_t,
+              res, g):
     """Flash backward: dedicated Pallas kernels (PALLAS_BACKWARD) or a
-    q-chunked XLA recompute fallback (peak live logits (B, H, 512, Skv))."""
+    q-chunked XLA recompute fallback (peak live logits (B, H, 512, Skv)).
+    When the forward produced the native (B, H, D, Sq) layout (out_t), the
+    residual out and cotangent g are relaid to (B, H, Sq, D) here — the
+    same transpose the forward no longer pays."""
     q, k, v, block_mask, out = res
+    if out_t:
+        out = out.transpose(0, 1, 3, 2)
+        g = g.transpose(0, 1, 3, 2)
     if PALLAS_BACKWARD:
         bq, bk = _choose_blocks(q.shape[2], k.shape[2], block_q, block_k)
         dq, dk, dv = _pallas_bwd_with_out(q, k, v, block_mask, out, g,
@@ -707,7 +721,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: float = 1.0, block_q: int = 512,
                     block_k: int = 1024, interpret: bool = False,
                     block_mask: Optional[jax.Array] = None,
-                    variant: Optional[str] = None) -> jax.Array:
+                    variant: Optional[str] = None,
+                    out_layout: str = "bhsd") -> jax.Array:
     """Fused attention over (B, H, S, D) tensors.
 
     block_mask: optional (B, Skv // block_k) keep-flags (bool/0-1); each
@@ -717,6 +732,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
     variant: "bnd" (default, fastest), "online_t", or "grid" — see the
     module docstring. None uses the module default FORWARD_VARIANT.
+
+    out_layout: "bhsd" (default) or "bhds" — the transposed kernels write
+    (B, H, D, Sq) natively; "bhds" returns that layout so callers can fold
+    the head merge into the output projection (a K-major GEMM) instead of
+    paying a relayout copy.
     """
     if variant is None:
         variant = FORWARD_VARIANT
@@ -731,8 +751,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             raise ValueError(
                 f"block_mask has {block_mask.shape[1]} blocks but kv len "
                 f"{skv} tiles into {None if bk is None else skv // bk}")
+    assert out_layout in ("bhsd", "bhds"), out_layout
     return _flash_core(q, k, v, block_mask.astype(jnp.float32), scale,
-                       block_q, block_k, interpret, masked, variant)
+                       block_q, block_k, interpret, masked, variant,
+                       out_layout == "bhds")
 
 
 def flash_supported(sq: int, skv: int, has_mask: bool,

@@ -138,6 +138,25 @@ class TestUpDownSample:
         params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
         assert m.apply(params, jnp.asarray(x)).shape == (1, 8, 8, 8)
 
+    def test_upsample_phase_conv_matches_torch(self):
+        """The phase-decomposed 2x upsample conv equals torch
+        conv2d(pad=1) over F.interpolate(mode="nearest") with the same
+        weights (diffusers Upsample2D semantics)."""
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, 5, 6, 8).astype(np.float32)
+        m = L.Upsample2D(4)
+        params = m.init(jax.random.PRNGKey(1), jnp.asarray(x))
+        got = np.asarray(m.apply(params, jnp.asarray(x)))
+
+        w = np.asarray(params["params"]["conv"]["kernel"])  # (3,3,ci,co)
+        bias = np.asarray(params["params"]["conv"]["bias"])
+        xt = to_t(x).permute(0, 3, 1, 2)
+        up = F.interpolate(xt, scale_factor=2, mode="nearest")
+        wt = to_t(w).permute(3, 2, 0, 1)  # (co, ci, kh, kw)
+        ref = F.conv2d(up, wt, to_t(bias), padding=1)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
 
 class TestAttentionOps:
     def test_mha_matches_torch_sdpa(self):

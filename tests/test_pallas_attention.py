@@ -174,3 +174,60 @@ def test_block_mask_gradients_match():
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3,
                                    atol=2e-3)
+
+
+@pytest.mark.parametrize("variant", ["grid", "online_t", "bnd"])
+def test_out_layout_bhds(variant):
+    """out_layout="bhds" returns the exact transpose of the default
+    layout, forward and backward (the head-merge-fold path used by
+    CrossAttention's output projection)."""
+    rng = np.random.RandomState(3)
+    b, h, sq, skv, d = 2, 2, 256, 512, 40
+    q = jnp.asarray(rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    scale = d ** -0.5
+    kw = dict(scale=scale, block_q=128, block_k=128, interpret=True,
+              variant=variant)
+    ref = flash_attention(q, k, v, **kw)
+    out_t = flash_attention(q, k, v, out_layout="bhds", **kw)
+    np.testing.assert_allclose(np.asarray(out_t.transpose(0, 1, 3, 2)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    g = jnp.asarray(rng.randn(b, h, d, sq), dtype=jnp.float32)
+
+    def f_t(q, k, v):
+        return (flash_attention(q, k, v, out_layout="bhds", **kw) * g).sum()
+
+    def f_s(q, k, v):
+        return (flash_attention(q, k, v, **kw)
+                * g.transpose(0, 1, 3, 2)).sum()
+
+    gt = jax.grad(f_t, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(f_s, argnums=(0, 1, 2))(q, k, v)
+    for a, e in zip(gt, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_mha_feat_layout_matches_seq():
+    """multi_head_attention out_layout="feat" is the transpose of "seq"
+    on the XLA fallback path; "auto" returns a tagged tuple."""
+    from storygen_tpu.ops.attention import multi_head_attention
+    rng = np.random.RandomState(4)
+    b, s, hd = 2, 64, 80
+    q = jnp.asarray(rng.randn(b, s, hd), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, hd), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, hd), dtype=jnp.float32)
+    seq = multi_head_attention(q, k, v, 2)
+    feat = multi_head_attention(q, k, v, 2, out_layout="feat")
+    auto, layout = multi_head_attention(q, k, v, 2, out_layout="auto")
+    assert feat.shape == (b, hd, s)
+    np.testing.assert_allclose(np.asarray(feat.transpose(0, 2, 1)),
+                               np.asarray(seq), rtol=1e-6, atol=1e-6)
+    if layout == "seq":
+        np.testing.assert_allclose(np.asarray(auto), np.asarray(seq),
+                                   rtol=1e-6, atol=1e-6)
+    else:
+        np.testing.assert_allclose(np.asarray(auto.transpose(0, 2, 1)),
+                                   np.asarray(seq), rtol=1e-5, atol=1e-5)

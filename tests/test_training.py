@@ -193,8 +193,11 @@ def test_data_parallel_serving(models):
                               None, None, None, noise, jnp.asarray(7.5),
                               jnp.asarray(3.5), stage="no",
                               num_inference_steps=2)
+    # rtol headroom: GroupNorm's s2 statistic is a dot_general whose fp32
+    # accumulation order differs between the sharded and single-device
+    # tilings (~5e-4 worst-case on this 2-step rollout).
     np.testing.assert_allclose(np.asarray(dp), np.asarray(single),
-                               rtol=2e-4, atol=1e-5)
+                               rtol=1e-3, atol=1e-5)
 
 
 def test_precomputed_latent_moments_path(models):
