@@ -9,6 +9,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent XLA compile cache: the 512px train step + validation sampler
+# are minutes-long remote compiles; cache them across runs like bench.py
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -36,7 +46,8 @@ def main():
         dataset = StorySalonDataset(cfg.dataset_path, "train", seed=cfg.seed)
         val_dataset = StorySalonDataset(cfg.dataset_path, "test")
 
-    tok_path = os.path.join(cfg.pretrained_model_path, "tokenizer")
+    tok_path = cfg.tokenizer_path or os.path.join(
+        cfg.pretrained_model_path, "tokenizer")
     tokenizer = Tokenizer(tok_path if os.path.isdir(tok_path)
                           else cfg.pretrained_model_path)
 

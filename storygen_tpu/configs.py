@@ -192,6 +192,10 @@ class TrainConfig:
     attn_variant: str = "online_t"
     loader_threads: int = 8
     validation_sample_logger: Optional[dict] = None
+    # Tokenizer folder override (vocab/merges); defaults to
+    # <pretrained_model_path>/tokenizer — set explicitly when training
+    # from random init (no pretrained folder to point into).
+    tokenizer_path: Optional[str] = None
 
     @classmethod
     def from_yaml(cls, path: str) -> "TrainConfig":

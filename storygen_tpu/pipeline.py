@@ -304,8 +304,12 @@ class StoryGenPipeline:
         self.text_encoder = text_encoder
         self.text_params = text_params
         self.tokenizer = tokenizer
-        self._encode_text = jax.jit(
-            lambda ids: text_encoder.apply(text_params, ids))
+        # params must be a traced ARGUMENT, not a closure constant: baked
+        # constants are inlined into the HLO, and the ~500 MB payload
+        # breaks remote compilation (HTTP 413) the first time the text
+        # encoder runs on a tunneled TPU.
+        apply = jax.jit(text_encoder.apply)
+        self._encode_text = lambda ids: apply(self.text_params, ids)
 
     def save_pretrained(self, root: str) -> None:
         """Export all components in the diffusers folder layout the

@@ -272,3 +272,33 @@ def test_num_images_per_prompt_batched(setup):
                 num_images_per_prompt=2, rng=jax.random.PRNGKey(6))
     assert out2.shape == (4, 64, 64, 3)
     assert np.isfinite(out2).all()
+
+
+def test_text_params_are_arguments_not_baked(setup):
+    """Pipeline text-encoder params must flow as traced arguments: baked
+    closure constants (a) inline ~500 MB of weights into the HLO, which
+    breaks tunneled remote compilation with HTTP 413 on real chips, and
+    (b) make later param updates (live validation sampling) silent no-ops.
+    Pins the fix by swapping params post-construction and requiring the
+    encoding to change."""
+    from storygen_tpu.pipeline import StoryGenPipeline
+    from storygen_tpu.models.clip_text import CLIPTextModel
+    from storygen_tpu.configs import CLIPTextConfig
+    sampler, params = setup
+    rng = jax.random.PRNGKey(0)
+    clip = CLIPTextModel(config=CLIPTextConfig(
+        vocab_size=64, hidden_size=24, intermediate_size=48,
+        num_hidden_layers=1, num_attention_heads=2,
+        max_position_embeddings=7))
+    clip_params = jax.jit(clip.init)(rng, jnp.zeros((1, 7), jnp.int32))
+
+    def fake_tok(texts):
+        return np.asarray([[hash(t) % 64 for _ in range(7)]
+                           for t in texts], np.int32)
+
+    pipe = StoryGenPipeline(sampler.unet, params["unet"], sampler.vae,
+                            params["vae"], clip, clip_params, fake_tok)
+    e1 = np.asarray(pipe.encode_prompt(["a fox"]))
+    pipe.text_params = jax.tree.map(lambda x: x * 0.5, clip_params)
+    e2 = np.asarray(pipe.encode_prompt(["a fox"]))
+    assert np.abs(e1 - e2).max() > 1e-6
