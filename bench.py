@@ -62,7 +62,15 @@ def main():
     prev_c = jax.random.normal(ks[6], (n_refs, b, 77, 768), jnp.float32) * 0.02
     noise = jax.random.normal(ks[7], (b, hw, hw, 4), jnp.float32)
 
-    def run(lat0, nz):
+    @jax.jit
+    def run(params, base, salt, nz):
+        # ONE dispatch per frame: chain-perturb + sample + decode +
+        # reduce in a single jitted program (params as traced arguments —
+        # closure constants would inline the weights into the HLO and
+        # break tunneled remote compilation). The tunneled chip has
+        # O(100 ms) per-dispatch latency, which at 3 dispatches/frame was
+        # ~7% of frame time; the decode itself is ~21 ms on device.
+        lat0 = base + salt.astype(jnp.float32) * 1e-6
         lat = sampler.sample(params, lat0, text_u, text_c, refs, zero,
                              prev_u, prev_c, nz, jnp.asarray(7.0),
                              jnp.asarray(3.5), stage="auto-regressive",
@@ -79,12 +87,12 @@ def main():
                 for k in iter_keys]
 
     # warmup / compile
-    _, m = run(lat_list[-1], noise)
+    _, m = run(params, lat_list[-1], jnp.float32(0.0), noise)
     jax.device_get(m)
 
     t0 = time.perf_counter()
     for i in range(n_iters):
-        _, m = run(lat_list[i] + m.astype(jnp.float32) * 1e-6, noise)
+        _, m = run(params, lat_list[i], m, noise)
     jax.device_get(m)
     dt = (time.perf_counter() - t0) / n_iters
 

@@ -44,6 +44,13 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent XLA compile cache (the 512px sampler loop is a
+    # minutes-long remote compile on a tunneled chip)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from PIL import Image
     from storygen_tpu.checkpoint.hf_import import load_diffusers_pretrained
