@@ -39,7 +39,7 @@ SITES = [
 ]
 
 
-def bench(op, x, w, iters=100):
+def bench(op, x, w, iters=1000):
     """Marginal per-iteration time of `op(x, w)`.
 
     The axon tunnel has a ~30 ms dispatch floor per jit call and elides
@@ -63,7 +63,9 @@ def bench(op, x, w, iters=100):
 
     def timed(salt, n):
         t0 = time.perf_counter()
-        jax.block_until_ready(many(x, w, jnp.float32(salt), n))
+        # device_get on the reduced scalar: block_until_ready does NOT
+        # actually sync through the axon tunnel (verify skill gotchas)
+        float(jax.device_get(many(x, w, jnp.float32(salt), n)))
         return time.perf_counter() - t0
 
     timed(0.0, 2)  # compile + backend warm

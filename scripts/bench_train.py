@@ -18,10 +18,11 @@ def main():
                     default=True)
     ap.add_argument("--no-remat", dest="remat", action="store_false")
     ap.add_argument("--attn", default="auto", choices=["auto", "xla"])
-    ap.add_argument("--variant", default="online_t",
-                    choices=["online_t", "bnd", "grid"],
+    ap.add_argument("--variant", default="bnd_guard",
+                    choices=["bnd_guard", "online_t", "bnd", "grid"],
                     help="flash forward variant (training default "
-                         "online_t, matching trainer.build_models)")
+                         "bnd_guard — the exact guarded bounded kernel, "
+                         "matching TrainConfig.attn_variant)")
     ap.add_argument("--precomputed", action="store_true",
                     help="train from precomputed VAE latent moments")
     ap.add_argument("--iters", type=int, default=5)

@@ -36,7 +36,17 @@ def main():
     ap.add_argument("--num_sample_per_prompt", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bf16", action="store_true", default=True)
-    ap.add_argument("--sampler", default="ddim", choices=["ddim", "dpm++"])
+    ap.add_argument("--sampler", default="ddim",
+                    choices=["ddim", "dpm++", "euler", "euler_a"])
+    ap.add_argument("--eta", type=float, default=0.0,
+                    help="DDIM stochasticity (reference eta kwarg, "
+                         "model/pipeline.py:287)")
+    ap.add_argument("--ref_feature_interval", type=int, default=1,
+                    help="recompute VLCM ref features every k-th step "
+                         "(1=exact; 2 ~1.45x faster, minor drift)")
+    ap.add_argument("--normalize_refs", action="store_true",
+                    help="feed story-rollout history refs in [-1,1] "
+                         "instead of the reference-checkpoint [0,1] quirk")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu)")
     args = ap.parse_args()
@@ -86,7 +96,9 @@ def main():
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale,
             image_guidance_scale=args.image_guidance_scale,
-            sampler=args.sampler)
+            sampler=args.sampler, eta=args.eta,
+            ref_feature_interval=args.ref_feature_interval,
+            normalize_refs=args.normalize_refs)
         for i, f in enumerate(frames):
             Image.fromarray((f * 255).astype(np.uint8)).save(
                 os.path.join(args.logdir, f"story_frame{i}.png"))
@@ -101,7 +113,8 @@ def main():
                guidance_scale=args.guidance_scale,
                image_guidance_scale=args.image_guidance_scale,
                rng=jax.random.PRNGKey(args.seed),
-               sampler=args.sampler,
+               sampler=args.sampler, eta=args.eta,
+               ref_feature_interval=args.ref_feature_interval,
                num_images_per_prompt=args.num_sample_per_prompt)
     for s in range(args.num_sample_per_prompt):
         img = (out[s] * 255).astype(np.uint8)

@@ -27,11 +27,20 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu)")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator address host:port "
+                         "(or set JAX_COORDINATOR_ADDRESS)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     args = ap.parse_args()
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    # multi-host: must run before the backend is first touched
+    from storygen_tpu.parallel import multihost
+    multihost.initialize(args.coordinator, args.num_processes,
+                         args.process_id)
     from storygen_tpu.configs import TrainConfig
     from storygen_tpu.data.datasets import (COCOMultiSegDataset,
                                             StorySalonDataset)

@@ -186,16 +186,37 @@ class TrainConfig:
     mesh_axes: Tuple[str, ...] = ("data",)
     remat: bool = True
     attn_backend: Optional[str] = None  # None='auto' (flash when it wins)
-    # Flash forward variant for training: "online_t" (exact online
-    # softmax — safe under divergence) by default; "bnd" is ~3% faster
-    # but zeroes attention silently if logits leave its bound domain.
-    attn_variant: str = "online_t"
+    # Flash forward variant: "bnd_guard" (default) runs the fast
+    # stats-free bounded kernel with a free domain check that falls back
+    # to the exact online-softmax kernel whenever logits could leave the
+    # bound's exp2 range — unconditionally exact, so it is safe even for
+    # diverging runs. "online_t" forces the exact kernel; "bnd" is the
+    # raw bounded kernel (no guard; silently zeroes attention rows
+    # out-of-domain — benchmarking only).
+    attn_variant: str = "bnd_guard"
     loader_threads: int = 8
     validation_sample_logger: Optional[dict] = None
     # Tokenizer folder override (vocab/merges); defaults to
     # <pretrained_model_path>/tokenizer — set explicitly when training
     # from random init (no pretrained folder to point into).
     tokenizer_path: Optional[str] = None
+
+    def __post_init__(self):
+        # validate at parse time, not deep inside a jitted call
+        if self.attn_variant not in ("bnd_guard", "bnd", "online_t",
+                                     "grid"):
+            raise ValueError(
+                f"attn_variant={self.attn_variant!r}; expected one of "
+                "'bnd_guard', 'bnd', 'online_t', 'grid'")
+        if self.attn_backend not in (None, "auto", "flash", "xla"):
+            raise ValueError(
+                f"attn_backend={self.attn_backend!r}; expected None, "
+                "'auto', 'flash' or 'xla'")
+        # "fp16" = the reference YAMLs' AMP flag; on TPU it maps to bf16
+        if self.mixed_precision not in ("bf16", "fp16", "fp32", "no"):
+            raise ValueError(
+                f"mixed_precision={self.mixed_precision!r}; expected "
+                "'bf16', 'fp16' (treated as bf16), 'fp32' or 'no'")
 
     @classmethod
     def from_yaml(cls, path: str) -> "TrainConfig":

@@ -57,6 +57,30 @@ def _read_text(path: str) -> str:
         return f.read()
 
 
+class _PerItemRNG:
+    """Deterministic per-(epoch, item) RNG factory.
+
+    The loader's thread pool calls __getitem__ concurrently; a single
+    shared random.Random would make CFG-dropout draws depend on thread
+    scheduling (only approximately reproducible per seed). Deriving a
+    fresh Random from (seed, epoch, idx) makes every draw a pure function
+    of the sample identity — bitwise reproducible under any thread count.
+    The loader advances `epoch` via set_epoch() so dropout still varies
+    across epochs (torch DistributedSampler convention)."""
+
+    def __init__(self, seed: Optional[int]):
+        self.seed = 0 if seed is None else int(seed)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def for_item(self, idx: int) -> random.Random:
+        # str seeds hash deterministically (sha512) regardless of
+        # PYTHONHASHSEED; tuple seeds were removed in Python 3.11+
+        return random.Random(f"{self.seed}/{self.epoch}/{int(idx)}")
+
+
 def _natural_key(s: str):
     """Natural sort for video frame filenames like 12_0:03:04.jpg."""
     return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
@@ -122,7 +146,7 @@ class StorySalonDataset:
         self.size = size
         self.normalize_refs = normalize_refs
         self.cfg_dropout = cfg_dropout and dataset_name == "train"
-        self._rng = random.Random(seed)
+        self._rng = _PerItemRNG(seed)
 
         def read_ids(name):
             p = os.path.join(root, name)
@@ -173,10 +197,12 @@ class StorySalonDataset:
             ref_images = ref_images * 2.0 - 1.0
 
         if self.cfg_dropout:
-            # CFG dropout (dataset.py:289-296)
-            if self._rng.uniform(0, 1) < 0.05:
+            # CFG dropout (dataset.py:289-296); per-item RNG for
+            # thread-count-independent reproducibility
+            rng = self._rng.for_item(idx)
+            if rng.uniform(0, 1) < 0.05:
                 prompt = ""
-            if self._rng.uniform(0, 1) < 0.1:
+            if rng.uniform(0, 1) < 0.1:
                 ref_prompts = ["", "", ""]
                 ref_images = ref_images * 0.0
 
@@ -240,7 +266,7 @@ class COCOMultiSegDataset:
         self.normalize_refs = normalize_refs
         self.cfg_dropout = cfg_dropout
         self.augment = augment
-        self._rng = random.Random(seed)
+        self._rng = _PerItemRNG(seed)
 
         with open(os.path.join(root, "annotations", ann)) as f:
             seg = json.load(f)
@@ -284,6 +310,7 @@ class COCOMultiSegDataset:
             crops = crops[:2] + [merged]
             cats = cats[:3]
 
+        rng = self._rng.for_item(idx)  # thread-safe, reproducible
         refs = []
         for c in crops:
             img = np.asarray(Image.fromarray(
@@ -292,7 +319,7 @@ class COCOMultiSegDataset:
             if self.augment:
                 deg, tr, sc = ((30, 0.2, (0.8, 1.3)) if self.split == "train"
                                else (10, 0.1, (0.9, 1.1)))
-                img = _augment(img, self._rng, deg, tr, sc)
+                img = _augment(img, rng, deg, tr, sc)
             refs.append(img)
         ref_images = np.stack(refs)
         image = _load_image(
@@ -300,14 +327,14 @@ class COCOMultiSegDataset:
             self.size) * 2.0 - 1.0
 
         caps = self.caps_by_image.get(image_id, [])
-        prompt = self._rng.choice(caps) if caps else ""
+        prompt = rng.choice(caps) if caps else ""
 
         if self.normalize_refs:
             ref_images = ref_images * 2.0 - 1.0
         if self.cfg_dropout:
-            if self._rng.uniform(0, 1) < 0.05:
+            if rng.uniform(0, 1) < 0.05:
                 prompt = ""
-            if self._rng.uniform(0, 1) < 0.1:
+            if rng.uniform(0, 1) < 0.1:
                 cats = ["", "", ""]
                 ref_images = ref_images * 0.0
 

@@ -77,7 +77,15 @@ class DataLoader:
                  tokenizer: Optional[Callable] = None,
                  shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True, prefetch: int = 2,
-                 num_threads: int = 4):
+                 num_threads: int = 4,
+                 num_shards: int = 1, shard_id: int = 0):
+        """num_shards/shard_id: multi-process data sharding — each
+        process reads every num_shards-th sample of the (identically
+        seeded) shuffled epoch, DistributedSampler-style, so the union of
+        all processes' batches is the global batch with no overlap
+        (parallel/multihost.py; batch_size here is the PER-PROCESS
+        size)."""
+        assert 0 <= shard_id < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer
@@ -85,17 +93,30 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_threads = num_threads
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self._rng = np.random.RandomState(seed)
 
     def _epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
+            # all shards use the SAME seed stream -> same permutation;
+            # the stride below then partitions it disjointly
             self._rng.shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_id::self.num_shards]
         return idx
 
     def _batches(self, pool) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = 0
         while True:  # cycle epochs forever (reference data_yielder,
             # train_StorySalon_stage2.py:249-255)
+            rng = getattr(self.dataset, "_rng", None)
+            if hasattr(rng, "set_epoch"):
+                # advance the dataset's per-item RNG epoch so CFG
+                # dropout varies across epochs (datasets._PerItemRNG)
+                rng.set_epoch(epoch)
+            epoch += 1
             idx = self._epoch_indices()
             n_full = len(idx) // self.batch_size
             end = n_full * self.batch_size if self.drop_last else len(idx)

@@ -79,6 +79,14 @@ def classical_embedder(grid: int = 16):
     def fn(batch: np.ndarray) -> np.ndarray:
         gray = batch.mean(-1)  # (B, H, W) in [0,1]
         b, h, w = gray.shape
+        # crop to a multiple of `grid` so any input size works (the
+        # dedup_frames path resizes to 224, already divisible)
+        if h % grid or w % grid:
+            if h < grid or w < grid:
+                raise ValueError(
+                    f"images must be at least {grid}x{grid}, got {h}x{w}")
+            h, w = h - h % grid, w - w % grid
+            gray = gray[:, :h, :w]
         small = gray.reshape(b, grid, h // grid, grid,
                              w // grid).mean((2, 4))      # (B, g, g)
         # center per image so cosine measures pattern correlation, not

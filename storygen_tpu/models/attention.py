@@ -68,6 +68,7 @@ class CrossAttention(nn.Module):
     cross_attention_dim: Optional[int] = None  # None -> self-attention
     dtype: Dtype = jnp.float32
     backend: Optional[str] = None
+    variant: Optional[str] = None  # flash forward-kernel variant
 
     @nn.compact
     def __call__(self, hidden_states: jax.Array,
@@ -85,7 +86,7 @@ class CrossAttention(nn.Module):
                      name="to_v")(context)
         out, layout = multi_head_attention(
             q, k, v, self.heads, mask=mask, ref_mask=ref_mask,
-            backend=self.backend, out_layout="auto")
+            backend=self.backend, variant=self.variant, out_layout="auto")
         return _OutProj(self.query_dim, dtype=self.dtype,
                         name="to_out_0")(out, layout)
 
@@ -197,6 +198,7 @@ class BasicTransformerBlock(nn.Module):
     cross_attention_dim: int = 768
     dtype: Dtype = jnp.float32
     attn_backend: Optional[str] = None
+    attn_variant: Optional[str] = None
 
     @nn.compact
     def __call__(self, hidden_states: jax.Array,
@@ -208,6 +210,7 @@ class BasicTransformerBlock(nn.Module):
         norm_h = LayerNorm(dtype=self.dtype, name="norm1")(hidden_states)
         attn_out = CrossAttention(self.dim, self.num_heads, self.head_dim,
                                   dtype=self.dtype, backend=self.attn_backend,
+                                  variant=self.attn_variant,
                                   name="attn1")(norm_h)
         hidden_states = attn_out + hidden_states
         img_dif_condition = hidden_states  # feature tap (attention.py:263)
@@ -217,6 +220,7 @@ class BasicTransformerBlock(nn.Module):
         attn_t = CrossAttention(self.dim, self.num_heads, self.head_dim,
                                 cross_attention_dim=self.cross_attention_dim,
                                 dtype=self.dtype, backend=self.attn_backend,
+                                variant=self.attn_variant,
                                 name="attn2")(
             norm_t, encoder_hidden_states=encoder_hidden_states)
         hidden_states_t = attn_t + hidden_states
@@ -229,6 +233,7 @@ class BasicTransformerBlock(nn.Module):
         attn3 = CrossAttention(self.dim, self.num_heads, self.head_dim,
                                cross_attention_dim=self.dim,
                                dtype=self.dtype, backend=self.attn_backend,
+                               variant=self.attn_variant,
                                name="attn3")
         if image_hidden_states is not None:
             attn_i = attn3(norm_i, encoder_hidden_states=image_hidden_states,
@@ -261,6 +266,7 @@ class Transformer2DModel(nn.Module):
     norm_num_groups: int = 32
     dtype: Dtype = jnp.float32
     attn_backend: Optional[str] = None
+    attn_variant: Optional[str] = None
 
     @nn.compact
     def __call__(self, hidden_states: jax.Array,
@@ -278,7 +284,8 @@ class Transformer2DModel(nn.Module):
         x, img_dif_condition = BasicTransformerBlock(
             inner_dim, self.num_heads, self.head_dim,
             cross_attention_dim=self.cross_attention_dim, dtype=self.dtype,
-            attn_backend=self.attn_backend, name="transformer_blocks_0")(
+            attn_backend=self.attn_backend, attn_variant=self.attn_variant,
+            name="transformer_blocks_0")(
             x, encoder_hidden_states, image_hidden_states, image_ref_mask)
         x = x.reshape(b, h, w, inner_dim)
         x = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out")(x)

@@ -73,11 +73,21 @@ class GroupNorm(nn.Module):
     with the affine into one per-channel (a, b), applied in a single
     elementwise pass; `act="silu"` fuses the activation into that pass
     (diffusers ResnetBlock2D always follows GN with SiLU).
+
+    Precision note: the default variance is one-pass (E[x^2] - mean^2 in
+    fp32), which loses precision to cancellation when |mean| >> std; the
+    reference/diffusers two-pass moments do not. For SD-scale activations
+    the observed drift is <= ~1e-3 relative per site (the widened
+    DP-vs-single-device test tolerance) with no measurable effect on
+    sampler output. `two_pass=True` subtracts the group mean before the
+    squared reduce (reference-parity moments) for fp32 parity checks, at
+    one extra pass over the activation.
     """
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
     act: Optional[str] = None
+    two_pass: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -95,13 +105,20 @@ class GroupNorm(nn.Module):
         # convert_element_type pass measured at ~2x this op's bandwidth
         # floor in the sampler profile).
         s1 = jnp.sum(x, axis=red_axes, dtype=jnp.float32)          # (B, C)
-        flat = x.reshape(b, -1, c)
-        s2 = jax.lax.dot_general(                                  # (B, C)
-            flat, flat, (((1,), (1,)), ((0, 2), (0, 2))),
-            preferred_element_type=jnp.float32)
         gmean = s1.reshape(b, g, c // g).sum(-1) / n_per_group     # (B, g)
-        gex2 = s2.reshape(b, g, c // g).sum(-1) / n_per_group
-        gvar = jnp.maximum(gex2 - gmean * gmean, 0.0)
+        if self.two_pass:
+            mean_bc = jnp.repeat(gmean, c // g, axis=1)            # (B, C)
+            cshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+            xc = x.astype(jnp.float32) - mean_bc.reshape(cshape)
+            s2c = jnp.sum(xc * xc, axis=red_axes)                  # (B, C)
+            gvar = s2c.reshape(b, g, c // g).sum(-1) / n_per_group
+        else:
+            flat = x.reshape(b, -1, c)
+            s2 = jax.lax.dot_general(                              # (B, C)
+                flat, flat, (((1,), (1,)), ((0, 2), (0, 2))),
+                preferred_element_type=jnp.float32)
+            gex2 = s2.reshape(b, g, c // g).sum(-1) / n_per_group
+            gvar = jnp.maximum(gex2 - gmean * gmean, 0.0)
         ginv = jax.lax.rsqrt(gvar + self.epsilon)                  # (B, g)
         mean_c = jnp.repeat(gmean, c // g, axis=1)                 # (B, C)
         inv_c = jnp.repeat(ginv, c // g, axis=1)

@@ -64,6 +64,7 @@ class UNet2DConditionModel(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     attn_backend: Optional[str] = None
+    attn_variant: Optional[str] = None
 
     @nn.compact
     def __call__(self, sample: jax.Array, timesteps: jax.Array,
@@ -130,6 +131,7 @@ class UNet2DConditionModel(nn.Module):
                     resnet_eps=cfg.norm_eps, add_downsample=not is_final,
                     downsample_padding=cfg.downsample_padding,
                     dtype=self.dtype, attn_backend=self.attn_backend,
+                                      attn_variant=self.attn_variant,
                     name=f"down_blocks_{i}")
                 sample, res, taps = blk(sample, temb, encoder_hidden_states,
                                         image_context, ref_mask)
@@ -154,6 +156,7 @@ class UNet2DConditionModel(nn.Module):
                 cross_attention_dim=cfg.cross_attention_dim,
                 resnet_groups=cfg.norm_num_groups, resnet_eps=cfg.norm_eps,
                 dtype=self.dtype, attn_backend=self.attn_backend,
+                                  attn_variant=self.attn_variant,
                 name="mid_block")(sample, temb, encoder_hidden_states,
                                   image_context, ref_mask)
             collected.update(taps)
@@ -175,6 +178,7 @@ class UNet2DConditionModel(nn.Module):
                     resnet_groups=cfg.norm_num_groups,
                     resnet_eps=cfg.norm_eps, add_upsample=not is_final,
                     dtype=self.dtype, attn_backend=self.attn_backend,
+                                      attn_variant=self.attn_variant,
                     name=f"up_blocks_{i}")
                 sample, taps = blk(sample, res, temb, encoder_hidden_states,
                                    image_context, ref_mask)

@@ -86,6 +86,7 @@ class CrossAttnDownBlock2D(nn.Module):
     downsample_padding: int = 1
     dtype: Dtype = jnp.float32
     attn_backend: Optional[str] = None
+    attn_variant: Optional[str] = None
 
     @nn.compact
     def __call__(self, hidden_states: jax.Array, temb: jax.Array,
@@ -108,6 +109,7 @@ class CrossAttnDownBlock2D(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 norm_num_groups=self.resnet_groups, dtype=self.dtype,
                 attn_backend=self.attn_backend,
+                attn_variant=self.attn_variant,
                 name=f"attentions_{i}")(hidden_states, encoder_hidden_states,
                                         img_ctx,
                                         _gate_mask(ref_mask, img_ctx))
@@ -159,6 +161,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     resnet_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     attn_backend: Optional[str] = None
+    attn_variant: Optional[str] = None
 
     @nn.compact
     def __call__(self, hidden_states: jax.Array, temb: jax.Array,
@@ -176,6 +179,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
             cross_attention_dim=self.cross_attention_dim,
             norm_num_groups=self.resnet_groups, dtype=self.dtype,
             attn_backend=self.attn_backend,
+            attn_variant=self.attn_variant,
             name="attentions_0")(hidden_states, encoder_hidden_states, img_ctx,
                                  _gate_mask(ref_mask, img_ctx))
         hidden_states = ResnetBlock2D(
@@ -198,6 +202,7 @@ class CrossAttnUpBlock2D(nn.Module):
     add_upsample: bool = True
     dtype: Dtype = jnp.float32
     attn_backend: Optional[str] = None
+    attn_variant: Optional[str] = None
 
     @nn.compact
     def __call__(self, hidden_states: jax.Array,
@@ -222,6 +227,7 @@ class CrossAttnUpBlock2D(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 norm_num_groups=self.resnet_groups, dtype=self.dtype,
                 attn_backend=self.attn_backend,
+                attn_variant=self.attn_variant,
                 name=f"attentions_{i}")(hidden_states, encoder_hidden_states,
                                         img_ctx,
                                         _gate_mask(ref_mask, img_ctx))

@@ -63,7 +63,8 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          mask: Optional[jax.Array] = None,
                          ref_mask: Optional[jax.Array] = None,
                          backend: Optional[str] = None,
-                         out_layout: str = "seq") -> jax.Array:
+                         variant: Optional[str] = None,
+                         out_layout: str = "seq"):
     """Full MHA over pre-projection tensors.
 
     Args:
@@ -73,15 +74,17 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
       ref_mask: optional (B, N) per-reference-frame keep flags for a kv
         made of N equal spans (attn3's kv-concat layout) — stays on the
         flash path as a block mask when spans tile into kv blocks.
-      out_layout: "seq" -> (B, Sq, H*D); "feat" -> (B, H*D, Sq), the flash
-        kernels' native transposed layout, free of relayout copies — the
-        caller contracts the H*D axis directly in its output projection;
-        "auto" -> whichever is free for the chosen path, returned as an
-        (array, layout) tuple ("feat" on the flash path, "seq" on XLA).
-    Returns (B, Sq, H*D) for "seq", (B, H*D, Sq) for "feat", a tuple for
-    "auto".
+      variant: flash forward-kernel variant threaded through to
+        pallas_attention.flash_attention ("bnd_guard" | "bnd" |
+        "online_t" | "grid"); None uses that module's default.
+      out_layout: "seq" returns the (B, Sq, H*D) array alone; "auto"
+        always returns an (array, layout) TUPLE — layout is "feat"
+        ((B, H*D, Sq), the flash kernels' native transposed layout, free
+        of relayout copies; the caller contracts the H*D axis directly in
+        its output projection) on the flash path and "seq" on XLA. The
+        return type is monomorphic for each out_layout value.
     """
-    assert out_layout in ("seq", "feat", "auto"), out_layout
+    assert out_layout in ("seq", "auto"), out_layout
     backend = backend or _DEFAULT_BACKEND
     head_dim = q.shape[-1] // num_heads
     scale = head_dim ** -0.5
@@ -98,15 +101,15 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                 span_blocks = (skv // n) // bk
                 block_mask = jnp.repeat(ref_mask.astype(jnp.float32),
                                         span_blocks, axis=1)
-                if out_layout in ("feat", "auto"):
+                if out_layout == "auto":
                     out = flash_attention(qh, kh, vh, scale=scale,
                                           block_k=bk, block_mask=block_mask,
+                                          variant=variant,
                                           out_layout="bhds")
                     b, h, d, s_ = out.shape
-                    out = out.reshape(b, h * d, s_)
-                    return (out, "feat") if out_layout == "auto" else out
+                    return out.reshape(b, h * d, s_), "feat"
                 out = flash_attention(qh, kh, vh, scale=scale, block_k=bk,
-                                      block_mask=block_mask)
+                                      block_mask=block_mask, variant=variant)
                 return merge_heads(out)
         # fallback: expand to an elementwise kv mask for the XLA path
         mask = jnp.repeat(ref_mask.astype(bool), skv // n,
@@ -121,18 +124,14 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             use_flash = flash_supported(sq, skv, has_mask=mask is not None)
     if use_flash:
         from storygen_tpu.ops.pallas_attention import flash_attention
-        if out_layout in ("feat", "auto"):
-            out = flash_attention(qh, kh, vh, scale=scale,
+        if out_layout == "auto":
+            out = flash_attention(qh, kh, vh, scale=scale, variant=variant,
                                   out_layout="bhds")
             b, h, d, s_ = out.shape
-            out = out.reshape(b, h * d, s_)
-            return (out, "feat") if out_layout == "auto" else out
-        out = flash_attention(qh, kh, vh, scale=scale)
+            return out.reshape(b, h * d, s_), "feat"
+        out = flash_attention(qh, kh, vh, scale=scale, variant=variant)
     else:
         out = xla_attention(qh, kh, vh, scale, mask=mask)
-        if out_layout == "feat":
-            b, h, s_, d = out.shape
-            return out.transpose(0, 1, 3, 2).reshape(b, h * d, s_)
     merged = merge_heads(out)
     return (merged, "seq") if out_layout == "auto" else merged
 

@@ -68,10 +68,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634
 
-# Forward kernel variant: "bnd" (transposed, stats-free; fastest),
-# "online_t" (transposed, exact online softmax), "grid" (original).
-# Module-level so training/serving can pin a variant globally.
-FORWARD_VARIANT = "bnd"
+# Forward kernel variant: "bnd_guard" (default: the stats-free "bnd"
+# kernel with a free domain check that lax.cond-falls back to the exact
+# "online_t" kernel when logits could leave the exp2 range — fast AND
+# unconditionally exact), "bnd" (raw bounded kernel, no guard),
+# "online_t" (transposed exact online softmax), "grid" (original).
+# Module-level default; callers can thread an explicit variant through
+# flash_attention(variant=...) / the models' attn_variant attribute.
+FORWARD_VARIANT = "bnd_guard"
 
 
 def _bnd_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, d: int,
@@ -258,7 +262,7 @@ def _choose_blocks(sq: int, skv: int, block_q: int, block_k: int,
     bq=1024 wins at every measured shape (attn3 L1 3.97 ms at
     bq1024/bk1024 vs 4.39 at bq512/bk1024). Callers' explicit larger
     block_q is kept."""
-    if variant in ("bnd", "online_t"):
+    if variant in ("bnd", "bnd_guard", "online_t"):
         bq_pref = max(block_q, 1024)
     else:
         bq_pref = max(block_q, 1024) if sq >= 4096 else block_q
@@ -272,13 +276,34 @@ def _broadcast_mask(block_mask, b, h, num_kv_blocks):
         (b, h, num_kv_blocks)).reshape(b * h, num_kv_blocks)
 
 
+def _bnd_domain_ok(qf32, k, limit: float = 120.0):
+    """Sufficient condition for the bounded kernel's exp2 domain: the
+    worst-row gap bound - max_logit <= max_i |q_i| * max_j |k_j - k_mean|
+    (see _transposed_fwd docstring). qf32 is pre-scaled by scale*log2(e),
+    so the product is already in exp2 units."""
+    kf32 = k.astype(jnp.float32)
+    k_mean = kf32.mean(axis=2, keepdims=True)
+    rmax = jnp.sqrt(jnp.sum((kf32 - k_mean) ** 2, -1)).max()
+    qmax = jnp.sqrt(jnp.sum(qf32 * qf32, -1)).max()
+    return qmax * rmax <= limit
+
+
 def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
-                    bounded, out_t=False):
+                    bounded, out_t=False, guard=False):
     """Driver for the "bnd"/"online_t" transposed kernels. Folds
     scale*log2(e) (and for bounded: the per-row logit bound and the
     row-sum ones column) into the operands; returns (B, H, Sq, D), or the
     kernel's NATIVE (B, H, D, Sq) when out_t=True (callers fold the head
-    merge into the output projection instead of paying a relayout)."""
+    merge into the output projection instead of paying a relayout).
+
+    guard=True ("bnd_guard"): run the bounded kernel only when its exp2
+    domain provably holds, else lax.cond-fallback to the exact online_t
+    kernel for the whole call. The check is free given the bound math:
+    mean_j s_ij = q_i k_mean exactly (logits are linear in k), and
+    max_j >= mean_j, so bound_i - max_j s_ij <= |q_i| max_j|k_j - k_mean|
+    = the bound's deviation term. If that gap (already in exp2 units)
+    stays under 120 < the fp32 exp2 range, no row can fully underflow —
+    the guarded variant is unconditionally exact."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
     nk = skv // bk
@@ -292,6 +317,17 @@ def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
 
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"))
+
+    if guard and bounded:
+        out = jax.lax.cond(
+            _bnd_domain_ok(qf32, k),
+            lambda: _transposed_fwd(q, k, v, block_mask, scale, bq, bk,
+                                    interpret, masked, bounded=True,
+                                    out_t=True),
+            lambda: _transposed_fwd(q, k, v, block_mask, scale, bq, bk,
+                                    interpret, masked, bounded=False,
+                                    out_t=True))
+        return out if out_t else out.transpose(0, 1, 3, 2)
 
     if bounded:
         # Per-row logit upper bound around the key centroid:
@@ -394,10 +430,11 @@ def _flash_core(q, k, v, block_mask, scale, block_q, block_k, interpret,
     if bq is None or bk is None:
         raise ValueError(f"unsupported seq lens ({sq}, {skv})")
 
-    if variant in ("bnd", "online_t"):
+    if variant in ("bnd", "bnd_guard", "online_t"):
         return _transposed_fwd(q, k, v, block_mask, scale, bq, bk,
                                interpret, masked,
-                               bounded=variant == "bnd", out_t=out_t)
+                               bounded=variant.startswith("bnd"),
+                               out_t=out_t, guard=variant == "bnd_guard")
 
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, skv, d)
@@ -730,8 +767,9 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     Requires Sq % block_q == 0 and Skv % block_k == 0 after auto-shrink;
     gate with `flash_supported` / `ref_mask_block_k`.
 
-    variant: "bnd" (default, fastest), "online_t", or "grid" — see the
-    module docstring. None uses the module default FORWARD_VARIANT.
+    variant: "bnd_guard" (exact with auto-fallback; the default),
+    "bnd", "online_t", or "grid" — see the module docstring. None uses
+    the module default FORWARD_VARIANT.
 
     out_layout: "bhsd" (default) or "bhds" — the transposed kernels write
     (B, H, D, Sq) natively; "bhds" returns that layout so callers can fold
@@ -740,7 +778,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     """
     if variant is None:
         variant = FORWARD_VARIANT
-    assert variant in ("bnd", "online_t", "grid"), variant
+    assert variant in ("bnd", "bnd_guard", "online_t", "grid"), variant
     masked = block_mask is not None
     if not masked:
         block_mask = jnp.ones((1, 1), jnp.float32)

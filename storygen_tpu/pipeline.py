@@ -99,8 +99,10 @@ class StoryGenSampler:
           noise: (B, h, w, 4) the single noise draw reused for ref noising
             across steps (pipeline.py:409).
           guidance_scale / image_guidance_scale: scalars (traced).
-          sampler: 'ddim' (reference parity, pipeline.py:461) or 'dpm++'
-            (DPM-Solver++(2M): ~half the steps for DDIM-50 quality).
+          sampler: 'ddim' (reference parity, pipeline.py:461), 'dpm++'
+            (DPM-Solver++(2M): ~half the steps for DDIM-50 quality),
+            'euler', or 'euler_a' (reference scheduler-union parity,
+            model/pipeline.py:9-12; 'euler_a' needs sample_rng).
           eta: DDIM stochasticity (reference eta kwarg, pipeline.py:287;
             default 0 = deterministic). Needs sample_rng when > 0.
           ref_feature_interval: recompute the reference-cycle VLCM features
@@ -111,6 +113,11 @@ class StoryGenSampler:
         Returns final latents (B, h, w, 4).
         """
         from storygen_tpu.diffusion import dpm_solver as D
+        from storygen_tpu.diffusion import euler as E
+        if sampler not in ("ddim", "dpm++", "euler", "euler_a"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        if (eta > 0.0 or sampler == "euler_a") and sample_rng is None:
+            raise ValueError("eta > 0 / euler_a need sample_rng")
         sched = self.schedule
         ts = S.ddim_timesteps(self.sched_cfg, num_inference_steps)
         ratio = self.sched_cfg.num_train_timesteps // num_inference_steps
@@ -143,10 +150,18 @@ class StoryGenSampler:
                                              ctx)
             return out, collected
 
+        is_euler = sampler in ("euler", "euler_a")
+
         def body(i, carry):
             latents, dpm_state = carry[0], carry[1]
             t = t_arr[i]
             prev_t = prev_arr[i]
+            # Euler samplers carry x in sigma space (x = x0 + sigma*eps)
+            # and the UNet sees scale_model_input(x) (diffusers
+            # EulerDiscreteScheduler semantics; the DDIM family's
+            # scale_model_input is the identity).
+            model_lat = (E.scale_model_input(sched, latents, t)
+                         if is_euler else latents)
 
             if use_refs:
                 def compute_ctx(_):
@@ -217,7 +232,7 @@ class StoryGenSampler:
                         compute_ctx, lambda _: cached_ctx, None)
                 else:
                     ctx = compute_ctx(None)
-                lat_in = jnp.concatenate([latents] * 3, axis=0)
+                lat_in = jnp.concatenate([model_lat] * 3, axis=0)
                 eps3, _ = unet_apply(lat_in, t, text3, ctx)
                 eps_uncond, eps_img, eps_all = jnp.split(eps3, 3, axis=0)
                 # 3-way CFG (pipeline.py:456-458)
@@ -225,7 +240,7 @@ class StoryGenSampler:
                        + image_guidance_scale * (eps_img - eps_uncond)
                        + guidance_scale * (eps_all - eps_img))
             else:
-                lat_in = jnp.concatenate([latents] * 2, axis=0)
+                lat_in = jnp.concatenate([model_lat] * 2, axis=0)
                 eps2, _ = unet_apply(lat_in, t, text2)
                 eps_uncond, eps_cond = jnp.split(eps2, 2, axis=0)
                 eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
@@ -234,6 +249,16 @@ class StoryGenSampler:
             if sampler == "dpm++":
                 new_latents, dpm_state2 = D.dpmpp_2m_step(
                     sched, eps, t, prev_t, latents, dpm_state)
+            elif sampler == "euler":
+                new_latents = E.euler_step(sched, eps, t, prev_t, latents)
+                dpm_state2 = dpm_state
+            elif sampler == "euler_a":
+                step_noise = jax.random.normal(
+                    jax.random.fold_in(sample_rng, i), latents.shape,
+                    jnp.float32)
+                new_latents = E.euler_ancestral_step(
+                    sched, eps, t, prev_t, latents, step_noise)
+                dpm_state2 = dpm_state
             else:
                 step_noise = None
                 if eta > 0.0:
@@ -272,6 +297,11 @@ class StoryGenSampler:
                         for k, v in struct.items()}
         else:
             init_ctx = 0  # placeholder carry slot
+        if is_euler:
+            # incoming latents are unit-variance (init_noise_sigma=1 for
+            # the DDIM-family schedule); lift into sigma space
+            latents = (latents / self.schedule.init_noise_sigma
+                       * E.sigma_of(sched, t_arr[0]))
         final, _, _ = jax.lax.fori_loop(
             0, num_inference_steps, body,
             (latents, D.init_state(latents), init_ctx))
@@ -357,15 +387,30 @@ class StoryGenPipeline:
                  rng: Optional[jax.Array] = None,
                  latents: Optional[jax.Array] = None,
                  sampler: str = "ddim",
+                 eta: float = 0.0,
+                 ref_feature_interval: int = 1,
                  num_images_per_prompt: int = 1) -> np.ndarray:
         """Generate images.
 
         Args:
           stage: 'no' | 'multi-image-condition' | 'auto-regressive'.
           prompt: B target captions.
-          image_prompt: (N, B, H, W, 3) reference frames in [-1, 1]
-            (NHWC; the reference uses (B, N, 3, H, W) NCHW).
+          image_prompt: (N, B, H, W, 3) reference frames, fed to the VAE
+            AS-IS (NHWC; the reference uses (B, N, 3, H, W) NCHW). The
+            reference-checkpoint convention is refs in [0, 1]: the
+            reference's normalize loop is a no-op (inference.py:89-91,
+            dataset.py:299-301 rebind the loop variable), so published
+            checkpoints were trained with refs in [0, 1] while targets
+            were in [-1, 1]. Pass [-1, 1] refs only for checkpoints
+            trained with `normalize_refs=True` data.
           prev_prompt: N lists of B captions for the reference frames.
+          sampler: 'ddim' (reference parity) | 'dpm++' (25 steps ~
+            DDIM-50 quality) | 'euler' | 'euler_a'.
+          eta: DDIM stochasticity (reference eta kwarg,
+            model/pipeline.py:287); noise drawn from `rng`.
+          ref_feature_interval: recompute VLCM reference features every
+            k-th step (1 = exact reference parity; 2 ~ 1.45x faster at
+            minor drift — BENCH.md "Opt-in accelerations").
           num_images_per_prompt: generate this many samples per prompt in
             ONE batched sampler call (reference _encode_prompt duplication,
             model/pipeline.py:87-196; used with 10 samples/prompt by
@@ -386,7 +431,7 @@ class StoryGenPipeline:
             matching the reference's embedding duplication."""
             return x if n == 1 else jnp.repeat(x, n, axis=axis)
 
-        k_lat, k_ref, k_zero, k_noise = jax.random.split(rng, 4)
+        k_lat, k_ref, k_zero, k_noise, k_eta = jax.random.split(rng, 5)
         if latents is None:
             latents = jax.random.normal(k_lat, (bn, h_lat, w_lat, 4),
                                         jnp.float32)
@@ -424,7 +469,8 @@ class StoryGenPipeline:
             jnp.asarray(guidance_scale, jnp.float32),
             jnp.asarray(image_guidance_scale, jnp.float32),
             stage=stage, num_inference_steps=num_inference_steps,
-            sampler=sampler)
+            sampler=sampler, eta=float(eta), sample_rng=k_eta,
+            ref_feature_interval=int(ref_feature_interval))
 
         images = self.sampler.decode(self.params["vae"], final)
         return np.asarray(images)
@@ -432,7 +478,8 @@ class StoryGenPipeline:
     def generate_story(self, prompts: Sequence[str],
                        first_frame: Optional[np.ndarray] = None,
                        first_caption: Optional[str] = None,
-                       max_refs: int = 3, **kw) -> List[np.ndarray]:
+                       max_refs: int = 3, normalize_refs: bool = False,
+                       **kw) -> List[np.ndarray]:
         """Autoregressive story rollout: generate frame k conditioned on up
         to `max_refs` previous frames and their captions (the paper's usage
         of stage='auto-regressive'; the reference leaves this loop to the
@@ -442,6 +489,12 @@ class StoryGenPipeline:
           prompts: one caption per story frame to generate.
           first_frame: optional (H, W, 3) conditioning image in [0, 1]
             (e.g. a ground-truth opening frame) with `first_caption`.
+          normalize_refs: False (default) feeds history frames to the VAE
+            in [0, 1] — the reference-checkpoint convention (the
+            reference's ref normalize is a no-op, inference.py:89-91, so
+            its checkpoints saw [0, 1] refs in training AND inference).
+            True rescales to [-1, 1] for checkpoints trained on
+            `normalize_refs=True` data (data/datasets.py).
         Returns the generated frames, each (H, W, 3) in [0, 1].
         """
         history: List[Tuple[np.ndarray, str]] = []
@@ -454,7 +507,9 @@ class StoryGenPipeline:
                 img = self(stage="no", prompt=[prompt], **kw)
             else:
                 hist = history[-max_refs:]
-                refs = np.stack([f * 2.0 - 1.0 for f, _ in hist])[:, None]
+                refs = np.stack([f for f, _ in hist])[:, None]
+                if normalize_refs:
+                    refs = refs * 2.0 - 1.0
                 img = self(stage="auto-regressive", prompt=[prompt],
                            image_prompt=refs,
                            prev_prompt=[[c] for _, c in hist], **kw)

@@ -79,14 +79,23 @@ def lr_at(cfg: TrainConfig, opt_step: int) -> float:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """clip-by-global-norm -> AdamW -> grad accumulation."""
+    """clip-by-global-norm -> AdamW -> grad accumulation.
+
+    use_8bit_adam=True (the reference YAMLs' bnb.optim.AdamW8bit flag,
+    train_StorySalon_stage2.py:187-196) swaps in the int8-quantized-
+    moment AdamW (training/optim8bit.py) — ~4x less optimizer-state HBM,
+    which matters for the `full` finetune predicate at 512px."""
     schedule = make_schedule(cfg)
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-                    eps=cfg.adam_epsilon,
-                    weight_decay=cfg.adam_weight_decay),
-    )
+    if cfg.use_8bit_adam:
+        from storygen_tpu.training.optim8bit import adamw_8bit
+        adam = adamw_8bit(schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                          eps=cfg.adam_epsilon,
+                          weight_decay=cfg.adam_weight_decay)
+    else:
+        adam = optax.adamw(schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                           eps=cfg.adam_epsilon,
+                           weight_decay=cfg.adam_weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), adam)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(
             tx, every_k_schedule=cfg.gradient_accumulation_steps)

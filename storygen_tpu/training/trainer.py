@@ -107,16 +107,16 @@ def build_models(cfg: TrainConfig, dtype=jnp.float32):
                       clip_config=clip_cfg,
                       scheduler_config=SchedulerConfig())
     # rebind the UNet module with the training-time flags (params are
-    # layout-identical across these flags)
+    # layout-identical across these flags). The flash forward variant is
+    # threaded as a module attribute — not a process-global — so other
+    # attention users in the same process (validation pipeline, a second
+    # model) keep their own settings. The "bnd_guard" default is
+    # unconditionally exact: it runs the fast bounded kernel only when
+    # its exp2 domain provably holds and lax.cond-falls back to the
+    # exact online-softmax kernel otherwise (ops/pallas_attention.py).
     bundle["unet"] = UNet2DConditionModel(
         config=bundle["unet_config"], dtype=dtype, remat=cfg.remat,
-        attn_backend=cfg.attn_backend)
-    # Training pins the unconditionally-exact flash forward by default
-    # (cfg.attn_variant="online_t"): a diverging run can push logits
-    # outside the "bnd" variant's exp2 domain, where it would silently
-    # return zeros instead of saturated attention.
-    from storygen_tpu.ops import pallas_attention
-    pallas_attention.FORWARD_VARIANT = cfg.attn_variant
+        attn_backend=cfg.attn_backend, attn_variant=cfg.attn_variant)
     return bundle
 
 
@@ -138,7 +138,9 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
     with open(os.path.join(cfg.logdir, "config.json"), "w") as f:
         json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
-    dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else jnp.float32
+    # "fp16" (the reference YAMLs' AMP flag) maps to bf16 on TPU
+    dtype = (jnp.bfloat16 if cfg.mixed_precision in ("bf16", "fp16")
+             else jnp.float32)
     bundle = models_bundle or build_models(cfg, dtype=dtype)
     unet, vae, clip = (bundle["unet"], bundle["vae"],
                        bundle["text_encoder"])
@@ -163,10 +165,19 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
              "coco": steps.make_coco_step}[stage]
     step_fn = maker(unet, vae, clip, sched, tx)
 
-    mesh = M.make_mesh(int(np.prod(cfg.mesh_shape)))
+    # multi-process (multi-host) runs use the global mesh over every
+    # process's devices; single-process uses cfg.mesh_shape. Call
+    # parallel.multihost.initialize() before train() to enable.
+    from storygen_tpu.parallel import multihost as MH
+    multi = jax.process_count() > 1
+    mesh = MH.global_mesh() if multi else \
+        M.make_mesh(int(np.prod(cfg.mesh_shape)))
     state_r = M.replicate(state, mesh)
     frozen_r = M.replicate(frozen, mesh)
     dp_step = M.jit_train_step(step_fn, mesh)
+    place_batch = ((lambda b: MH.host_local_batch(b, mesh)) if multi
+                   else (lambda b: M.shard_batch(b, mesh)))
+    write_outputs = MH.is_coordinator()
 
     if sample_logger is None and cfg.validation_sample_logger is not None \
             and tokenizer is not None:
@@ -181,8 +192,15 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
                                      **cfg.validation_sample_logger)
 
     from storygen_tpu.data.loader import DataLoader
-    loader = DataLoader(dataset, cfg.train_batch_size, tokenizer=tokenizer,
-                        seed=cfg.seed, num_threads=cfg.loader_threads)
+    # per-process batch slice: each process loads 1/process_count of the
+    # global batch; batch rows assemble into one global array in
+    # host_local_batch (multi-host data sharding, SURVEY §2.4 DCN story)
+    per_proc_bs = cfg.train_batch_size // jax.process_count() if multi \
+        else cfg.train_batch_size
+    loader = DataLoader(dataset, max(per_proc_bs, 1), tokenizer=tokenizer,
+                        seed=cfg.seed, num_threads=cfg.loader_threads,
+                        num_shards=jax.process_count(),
+                        shard_id=jax.process_index())
     logger = MetricLogger(cfg.logdir)
 
     rng = jax.random.PRNGKey(cfg.seed)
@@ -190,23 +208,33 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
     it = iter(loader)
     last_t, last_opt = time.time(), int(state.step) \
         // cfg.gradient_accumulation_steps
+    # loss is averaged over the whole logging window ON DEVICE (a lazy
+    # running sum adds one scalar op per micro-step, no host sync) — the
+    # reference logs only the last micro-batch's loss, which is too noisy
+    # to judge its 50k-step runs by
+    loss_sum, loss_n = jnp.zeros((), jnp.float32), 0
     for micro in range(int(state.step), micro_steps):
-        batch = M.shard_batch(next(it), mesh)
+        batch = place_batch(next(it))
         rng, sub = jax.random.split(rng)
         state_r, metrics = dp_step(state_r, frozen_r, batch, sub)
+        loss_sum = loss_sum + metrics["loss"].astype(jnp.float32)
+        loss_n += 1
 
         if (micro + 1) % cfg.gradient_accumulation_steps == 0:
             opt_step = (micro + 1) // cfg.gradient_accumulation_steps
             if opt_step % 50 == 0 or opt_step == 1:
-                loss = float(jax.device_get(metrics["loss"]))
+                loss = float(jax.device_get(loss_sum)) / max(loss_n, 1)
+                loss_sum, loss_n = jnp.zeros((), jnp.float32), 0
                 now = time.time()
-                logger.log(opt_step, {
-                    "loss": loss,
-                    "lr": optim.lr_at(cfg, opt_step),  # schedule value
-                    "steps_per_sec":  # windowed, not lifetime-average
-                        (opt_step - last_opt) / max(now - last_t, 1e-9)})
+                if write_outputs:  # process 0 only on multi-host
+                    logger.log(opt_step, {
+                        "loss": loss,  # window mean over all micro-batches
+                        "lr": optim.lr_at(cfg, opt_step),
+                        "steps_per_sec":  # windowed, not lifetime-average
+                            (opt_step - last_opt) / max(now - last_t, 1e-9)})
                 last_t, last_opt = now, opt_step
-            if sample_logger is not None and val_dataset is not None \
+            if write_outputs and sample_logger is not None \
+                    and val_dataset is not None \
                     and opt_step % cfg.validation_steps == 0:
                 # push the live trained subtree into the sampling pipeline
                 host_state = jax.device_get(state_r)
@@ -215,7 +243,7 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
                 from storygen_tpu.data.loader import collate
                 vb = collate([val_dataset[opt_step % len(val_dataset)]])
                 sample_logger.log_sample_images(vb, opt_step)
-            if opt_step % cfg.checkpointing_steps == 0:
+            if write_outputs and opt_step % cfg.checkpointing_steps == 0:
                 host_state = jax.device_get(state_r)
                 orbax_io.save_checkpoint(ckpt_dir, opt_step, host_state)
                 # export the FULL pipeline folder the reference stack opens

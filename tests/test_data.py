@@ -79,14 +79,42 @@ def test_storysalon_windows_and_split(salon_root):
 def test_storysalon_cfg_dropout_rates(salon_root):
     ds = StorySalonDataset(salon_root, "train", size=64, cfg_dropout=True,
                            seed=0)
-    empty_prompt = zero_refs = 0
-    n = 400
-    for i in range(n):
-        s = ds[i % len(ds)]
-        empty_prompt += s["prompt"] == ""
-        zero_refs += float(np.abs(s["ref_images"]).sum()) == 0.0
+    empty_prompt = zero_refs = n = 0
+    for epoch in range(134):  # dropout draws vary per (epoch, idx)
+        ds._rng.set_epoch(epoch)  # the DataLoader does this per epoch
+        for i in range(len(ds)):
+            s = ds[i]
+            empty_prompt += s["prompt"] == ""
+            zero_refs += float(np.abs(s["ref_images"]).sum()) == 0.0
+            n += 1
     assert 0.02 < empty_prompt / n < 0.10   # ~5%
     assert 0.05 < zero_refs / n < 0.16      # ~10%
+
+
+def test_storysalon_cfg_dropout_reproducible_any_thread_order(salon_root):
+    """CFG dropout is a pure function of (seed, epoch, idx): re-reading
+    an item, in any order, from any thread, gives the identical draw —
+    the config seed now delivers exact reproducibility (the reference's
+    shared-RNG draws depended on worker scheduling)."""
+    ds = StorySalonDataset(salon_root, "train", size=64, cfg_dropout=True,
+                           seed=7)
+    ds._rng.set_epoch(3)
+    a = [ds[i]["prompt"] for i in range(len(ds))]
+    b = [ds[i]["prompt"] for i in reversed(range(len(ds)))][::-1]
+    assert a == b
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        c = list(pool.map(lambda i: ds[i]["prompt"], range(len(ds))))
+    assert a == c
+    ds2 = StorySalonDataset(salon_root, "train", size=64, cfg_dropout=True,
+                            seed=7)
+    ds2._rng.set_epoch(3)
+    assert a == [ds2[i]["prompt"] for i in range(len(ds2))]
+    # different epoch or seed -> independent draws (same item can differ)
+    ds2._rng.set_epoch(4)
+    d = [(ds2[i]["prompt"], float(np.abs(ds2[i]["ref_images"]).sum()))
+         for i in range(len(ds2))]
+    assert isinstance(d, list)  # smoke: draws computed without error
 
 
 @pytest.fixture()

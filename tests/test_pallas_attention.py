@@ -10,7 +10,7 @@ from storygen_tpu.ops.pallas_attention import (flash_attention,
                                                flash_supported)
 
 
-@pytest.mark.parametrize("variant", ["grid", "online_t", "bnd"])
+@pytest.mark.parametrize("variant", ["grid", "online_t", "bnd", "bnd_guard"])
 @pytest.mark.parametrize("sq,skv,d", [
     (256, 256, 40),    # self-attn shape (reduced)
     (256, 768, 40),    # attn3 with 3-ref kv concat
@@ -30,7 +30,7 @@ def test_matches_xla(sq, skv, d, variant):
                                atol=2e-3)
 
 
-@pytest.mark.parametrize("variant", ["online_t", "bnd"])
+@pytest.mark.parametrize("variant", ["online_t", "bnd", "bnd_guard"])
 def test_variant_grads_and_mask(variant):
     """Transposed-forward variants: gradients + block mask vs XLA."""
     rng = np.random.RandomState(7)
@@ -79,6 +79,51 @@ def test_bnd_validity_domain():
                             interpret=True, variant="online_t")
     np.testing.assert_allclose(np.asarray(exact), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_bnd_guard_falls_back_out_of_domain():
+    """"bnd_guard" must stay exact on inputs that push the bounded
+    kernel out of its exp2 domain (where raw "bnd" silently underflows
+    rows to zero) by lax.cond-falling back to the exact online kernel."""
+    rng = np.random.RandomState(3)
+    b, h, sq, skv, d = 1, 1, 128, 256, 40
+    # amplitude 60: |q| ~ 60*sqrt(40), bound deviation term >> exp2 range
+    q = jnp.asarray(60 * rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = jnp.asarray(60 * rng.randn(b, h, skv, d), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    scale = d ** -0.5
+    from storygen_tpu.ops.pallas_attention import _bnd_domain_ok, LOG2E
+    assert not bool(_bnd_domain_ok(q * (scale * LOG2E), k))
+    ref = xla_attention(q, k, v, scale)
+    guarded = flash_attention(q, k, v, scale=scale, block_q=128,
+                              block_k=128, interpret=True,
+                              variant="bnd_guard")
+    np.testing.assert_allclose(np.asarray(guarded), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    # documented failure mode of the unguarded kernel on the same input:
+    # rows fully underflow -> all-zero output (why the guard exists)
+    raw = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128,
+                          interpret=True, variant="bnd")
+    assert np.abs(np.asarray(raw)).max() < np.abs(np.asarray(ref)).max()
+
+
+def test_bnd_guard_uses_fast_path_in_domain():
+    """On in-domain inputs the guard predicate is True, so bnd_guard
+    takes the bounded kernel branch and matches it bitwise."""
+    rng = np.random.RandomState(5)
+    b, h, sq, skv, d = 1, 2, 128, 256, 40
+    q = jnp.asarray(rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    scale = d ** -0.5
+    from storygen_tpu.ops.pallas_attention import _bnd_domain_ok, LOG2E
+    assert bool(_bnd_domain_ok(q * (scale * LOG2E), k))
+    kw = dict(scale=scale, block_q=128, block_k=128, interpret=True)
+    guarded = flash_attention(q, k, v, variant="bnd_guard", **kw)
+    raw = flash_attention(q, k, v, variant="bnd", **kw)
+    # same kernel modulo lax.cond branch fusion (not bitwise identical)
+    np.testing.assert_allclose(np.asarray(guarded), np.asarray(raw),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_bf16_io():
@@ -176,7 +221,7 @@ def test_block_mask_gradients_match():
                                    atol=2e-3)
 
 
-@pytest.mark.parametrize("variant", ["grid", "online_t", "bnd"])
+@pytest.mark.parametrize("variant", ["grid", "online_t", "bnd", "bnd_guard"])
 def test_out_layout_bhds(variant):
     """out_layout="bhds" returns the exact transpose of the default
     layout, forward and backward (the head-merge-fold path used by
@@ -210,9 +255,10 @@ def test_out_layout_bhds(variant):
                                    rtol=2e-3, atol=2e-3)
 
 
-def test_mha_feat_layout_matches_seq():
-    """multi_head_attention out_layout="feat" is the transpose of "seq"
-    on the XLA fallback path; "auto" returns a tagged tuple."""
+def test_mha_auto_layout_is_tagged_tuple():
+    """multi_head_attention out_layout="auto" always returns an
+    (array, layout) tuple; "seq" returns the array alone; "feat" was
+    removed from the surface (monomorphic return types)."""
     from storygen_tpu.ops.attention import multi_head_attention
     rng = np.random.RandomState(4)
     b, s, hd = 2, 64, 80
@@ -220,14 +266,14 @@ def test_mha_feat_layout_matches_seq():
     k = jnp.asarray(rng.randn(b, s, hd), dtype=jnp.float32)
     v = jnp.asarray(rng.randn(b, s, hd), dtype=jnp.float32)
     seq = multi_head_attention(q, k, v, 2)
-    feat = multi_head_attention(q, k, v, 2, out_layout="feat")
+    assert seq.shape == (b, s, hd)
     auto, layout = multi_head_attention(q, k, v, 2, out_layout="auto")
-    assert feat.shape == (b, hd, s)
-    np.testing.assert_allclose(np.asarray(feat.transpose(0, 2, 1)),
-                               np.asarray(seq), rtol=1e-6, atol=1e-6)
+    assert layout in ("seq", "feat")
     if layout == "seq":
         np.testing.assert_allclose(np.asarray(auto), np.asarray(seq),
                                    rtol=1e-6, atol=1e-6)
     else:
         np.testing.assert_allclose(np.asarray(auto.transpose(0, 2, 1)),
                                    np.asarray(seq), rtol=1e-5, atol=1e-5)
+    with pytest.raises(AssertionError):
+        multi_head_attention(q, k, v, 2, out_layout="feat")

@@ -302,3 +302,118 @@ def test_text_params_are_arguments_not_baked(setup):
     pipe.text_params = jax.tree.map(lambda x: x * 0.5, clip_params)
     e2 = np.asarray(pipe.encode_prompt(["a fox"]))
     assert np.abs(e1 - e2).max() > 1e-6
+
+
+def _tiny_pipe(setup):
+    from storygen_tpu.pipeline import StoryGenPipeline
+    from storygen_tpu.models.clip_text import CLIPTextModel
+    from storygen_tpu.configs import CLIPTextConfig
+    sampler, params = setup
+    rng = jax.random.PRNGKey(0)
+    clip = CLIPTextModel(config=CLIPTextConfig(
+        vocab_size=64, hidden_size=24, intermediate_size=48,
+        num_hidden_layers=1, num_attention_heads=2,
+        max_position_embeddings=7))
+    clip_params = jax.jit(clip.init)(rng, jnp.zeros((1, 7), jnp.int32))
+
+    def fake_tok(texts):
+        return np.asarray([[hash(t) % 64 for _ in range(7)]
+                           for t in texts], np.int32)
+
+    return StoryGenPipeline(sampler.unet, params["unet"], sampler.vae,
+                            params["vae"], clip, clip_params, fake_tok)
+
+
+def test_generate_story_feeds_refs_in_distribution(setup):
+    """The rollout driver must feed history frames to the VAE in the
+    SAME range the checkpoint was trained with: [0, 1] by default (the
+    reference-quirk convention, inference.py:89-91 no-op normalize).
+    Frame 2 of generate_story must equal a manual __call__ chain that
+    conditions on frame 1 as-is."""
+    pipe = _tiny_pipe(setup)
+    kw = dict(height=64, width=64, num_inference_steps=2)
+    frames = pipe.generate_story(["a fox", "the fox runs"], **kw)
+    assert len(frames) == 2
+
+    f1 = pipe(stage="no", prompt=["a fox"], **kw)[0]
+    np.testing.assert_array_equal(frames[0], f1)
+    f2 = pipe(stage="auto-regressive", prompt=["the fox runs"],
+              image_prompt=f1[None, None],  # [0,1] as decoded
+              prev_prompt=[["a fox"]], **kw)[0]
+    np.testing.assert_array_equal(frames[1], f2)
+
+    # normalize_refs=True must change the conditioning (refs in [-1,1])
+    frames_n = pipe.generate_story(["a fox", "the fox runs"],
+                                   normalize_refs=True, **kw)
+    np.testing.assert_array_equal(frames_n[0], frames[0])
+    assert np.abs(frames_n[1] - frames[1]).max() > 0
+
+
+def test_stage_no_two_row_equals_three_row(setup):
+    """Stage 'no' runs a 2-row CFG batch; the reference runs a
+    degenerate 3-row batch ([latents]*3, text [uncond,uncond,cond],
+    model/pipeline.py:448-458) whose rows 0 and 1 coincide. Pin the
+    equivalence by executing the 3-row form for a full short loop."""
+    from storygen_tpu.diffusion import schedule as S
+    sampler, params = setup
+    b, steps = 1, 3
+    lat0 = jax.random.normal(jax.random.PRNGKey(41), (b, LAT, LAT, 4))
+    noise = jnp.zeros((b, LAT, LAT, 4))
+    tu, tc = _text(b, 1), _text(b, 2)
+    g_txt, g_img = 7.5, 3.5
+    out2row = sampler.sample(params, lat0, tu, tc, None, None, None, None,
+                             noise, jnp.asarray(g_txt), jnp.asarray(g_img),
+                             stage="no", num_inference_steps=steps)
+
+    sched = sampler.schedule
+    ts = S.ddim_timesteps(sampler.sched_cfg, steps)
+    ratio = sampler.sched_cfg.num_train_timesteps // steps
+    lat = lat0
+    text3 = jnp.concatenate([tu, tu, tc], axis=0)
+    for i, t in enumerate(ts):
+        prev_t = int(ts[i + 1]) if i + 1 < len(ts) else int(ts[-1]) - ratio
+        eps3, _ = sampler.unet.apply(params["unet"],
+                                     jnp.concatenate([lat] * 3, axis=0),
+                                     jnp.asarray(int(t)), text3)
+        e_u, e_i, e_a = jnp.split(eps3, 3, axis=0)
+        eps = e_u + g_img * (e_i - e_u) + g_txt * (e_a - e_i)
+        lat = S.ddim_step(sched, eps.astype(jnp.float32),
+                          jnp.asarray(int(t)), jnp.asarray(prev_t), lat)
+    np.testing.assert_allclose(np.asarray(out2row), np.asarray(lat),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("sampler_name", ["euler", "euler_a"])
+def test_euler_sampler_dispatch(setup, sampler_name):
+    """'euler'/'euler_a' are dispatchable through sample() (reference
+    scheduler-union parity, model/pipeline.py:9-12)."""
+    sampler, params = setup
+    b = 1
+    lat = jax.random.normal(jax.random.PRNGKey(51), (b, LAT, LAT, 4))
+    noise = jnp.zeros((b, LAT, LAT, 4))
+    args = (params, lat, _text(b, 1), _text(b, 2), None, None, None, None,
+            noise, jnp.asarray(7.0), jnp.asarray(3.5))
+    kw = dict(stage="no", num_inference_steps=3,
+              sample_rng=jax.random.PRNGKey(0))
+    out = sampler.sample(*args, sampler=sampler_name, **kw)
+    assert np.isfinite(np.asarray(out)).all()
+    ddim = sampler.sample(*args, sampler="ddim", **kw)
+    assert not np.allclose(np.asarray(out), np.asarray(ddim))
+    # reproducible under the same rng
+    out_b = sampler.sample(*args, sampler=sampler_name, **kw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_b))
+    if sampler_name == "euler_a":
+        out_c = sampler.sample(*args, sampler=sampler_name,
+                               stage="no", num_inference_steps=3,
+                               sample_rng=jax.random.PRNGKey(9))
+        assert not np.allclose(np.asarray(out), np.asarray(out_c))
+
+
+def test_unknown_sampler_raises(setup):
+    sampler, params = setup
+    b = 1
+    lat = jnp.zeros((b, LAT, LAT, 4))
+    with pytest.raises(ValueError, match="unknown sampler"):
+        sampler.sample(params, lat, _text(b, 1), _text(b, 2), None, None,
+                       None, None, lat, jnp.asarray(7.0), jnp.asarray(3.5),
+                       stage="no", num_inference_steps=2, sampler="plms")

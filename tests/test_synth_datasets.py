@@ -57,3 +57,18 @@ def test_all_shipped_configs_parse():
         cfg = TrainConfig.from_yaml(p)
         assert cfg.train_batch_size >= 1
         assert cfg.gradient_accumulation_steps >= 1
+
+
+def test_train_config_validates_at_parse_time():
+    """Typos in attn_variant/attn_backend/mixed_precision must fail at
+    config construction, not deep inside a jitted call."""
+    import pytest
+    from storygen_tpu.configs import TrainConfig
+    for kw in ({"attn_variant": "bndd"}, {"attn_backend": "pallas"},
+               {"mixed_precision": "fp8"}):
+        with pytest.raises(ValueError):
+            TrainConfig(**kw)
+    # the reference YAMLs' AMP flag parses (mapped to bf16 on TPU)
+    assert TrainConfig(mixed_precision="fp16").mixed_precision == "fp16"
+    for v in ("bnd_guard", "bnd", "online_t", "grid"):
+        assert TrainConfig(attn_variant=v).attn_variant == v

@@ -1,0 +1,180 @@
+"""Cross-implementation golden tests: the JAX stack vs an independent
+plain-torch re-execution of the reference's COMPOSED math
+(tests/torch_mirror.py), on weights exported by checkpoint/hf_export.
+
+This is the executable parity proof VERDICT r2 asked for: it fails if
+any keying / ref-noise-decay / CFG-layout / scheduler semantic drifts
+between this framework and /root/reference — the class of bug that
+layer-level goldens cannot catch. Runs at 64x64 latents (the 512px
+operating point) where the reference's COLLECT keys (block identity,
+unet_2d_condition.py:427-470) and CONSUME keys (resolution formula,
+unet_2d_blocks.py:380-381,600-601) coincide; channels are tiny.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from storygen_tpu.checkpoint.hf_export import flax_to_torch_state_dict
+from storygen_tpu.configs import SchedulerConfig, UNetConfig
+from storygen_tpu.diffusion import schedule as S
+from storygen_tpu.models.unet import UNet2DConditionModel
+
+from tests import torch_mirror as M
+
+CFG = UNetConfig(block_out_channels=(16, 32, 32, 32), attention_head_dim=4,
+                 norm_num_groups=4, cross_attention_dim=24)
+HW = 64  # 64x64 latents = the 512px operating point (keying parity)
+TXT = 7  # tokens
+ATOL = 1e-4
+RTOL = 1e-4
+
+
+def _nchw(x):
+    return torch.from_numpy(np.asarray(x)).double().permute(0, 3, 1, 2)
+
+
+def _nhwc(x):
+    return np.asarray(x.permute(0, 2, 3, 1).float())
+
+
+@pytest.fixture(scope="module")
+def models():
+    rng = jax.random.PRNGKey(42)
+    unet = UNet2DConditionModel(config=CFG)
+    params = jax.jit(unet.init)(
+        rng, jnp.zeros((1, 16, 16, 4)), jnp.asarray([0]),
+        jnp.zeros((1, TXT, CFG.cross_attention_dim)))
+    sd = M.to_tensors(flax_to_torch_state_dict(params))
+    return unet, params, sd
+
+
+def _rand(key, shape, s=1.0):
+    return jnp.asarray(
+        np.random.RandomState(key).randn(*shape).astype(np.float32) * s)
+
+
+def test_schedule_matches_mirror():
+    """Betas/alphas_cumprod + leading-spaced timesteps must agree with an
+    independent scaled_linear implementation."""
+    sched = S.make_schedule(SchedulerConfig())
+    mir = M.DDIMMirror()
+    np.testing.assert_allclose(np.asarray(sched.alphas_cumprod),
+                               mir.alphas_cumprod, rtol=1e-6)
+    for n in (1, 2, 50):
+        np.testing.assert_array_equal(
+            S.ddim_timesteps(SchedulerConfig(), n), mir.timesteps(n))
+    assert float(sched.final_alpha_cumprod) == pytest.approx(
+        mir.final_alpha_cumprod)
+
+
+def test_reference_cycle_matches_torch(models):
+    """UNet forward in the COLLECT cycle: eps + all 16 context features
+    (tap after attn1) must match the torch mirror to fp32 precision."""
+    unet, params, sd = models
+    x = _rand(0, (1, HW, HW, 4))
+    text = _rand(1, (1, TXT, CFG.cross_attention_dim))
+    t = jnp.asarray([981])
+
+    eps_j, ctx_j = unet.apply(params, x, t, text)
+    eps_t, ctx_t = M.unet_forward(sd, CFG, _nchw(x), torch.tensor([981]),
+                                  torch.from_numpy(np.asarray(text)).double())
+
+    np.testing.assert_allclose(np.asarray(eps_j), _nhwc(eps_t),
+                               rtol=RTOL, atol=ATOL)
+    assert set(ctx_j.keys()) == set(ctx_t.keys())
+    assert len(ctx_j) == 16
+    for k in ctx_j:
+        np.testing.assert_allclose(
+            np.asarray(ctx_j[k]), np.asarray(ctx_t[k].float()),
+            rtol=RTOL, atol=ATOL, err_msg=f"context key {k}")
+
+
+def test_image_cycle_matches_torch(models):
+    """UNet forward in the CONSUME cycle with a 2-ref kv-concat context:
+    the resolution-keyed lookup (reference formula) must select the same
+    features the JAX block-identity keying consumes."""
+    unet, params, sd = models
+    n = 2
+    x = _rand(2, (1, HW, HW, 4))
+    text = _rand(3, (1, TXT, CFG.cross_attention_dim))
+    refs = [_rand(10 + i, (1, HW, HW, 4), 0.5) for i in range(n)]
+    rtext = [_rand(20 + i, (1, TXT, CFG.cross_attention_dim))
+             for i in range(n)]
+
+    ctxs_j = []
+    ctxs_t = []
+    for i in range(n):
+        _, cj = unet.apply(params, refs[i], jnp.asarray([45]), rtext[i])
+        ctxs_j.append(cj)
+        _, ct = M.unet_forward(
+            sd, CFG, _nchw(refs[i]), torch.tensor([45]),
+            torch.from_numpy(np.asarray(rtext[i])).double())
+        ctxs_t.append(ct)
+    ctx_j = {k: jnp.concatenate([c[k] for c in ctxs_j], axis=1)
+             for k in ctxs_j[0]}
+    ctx_t = {k: torch.cat([c[k] for c in ctxs_t], dim=1)
+             for k in ctxs_t[0]}
+
+    eps_j, _ = unet.apply(params, x, jnp.asarray([501]), text, ctx_j)
+    eps_t, _ = M.unet_forward(sd, CFG, _nchw(x), torch.tensor([501]),
+                              torch.from_numpy(np.asarray(text)).double(),
+                              image_hidden_states=ctx_t)
+    np.testing.assert_allclose(np.asarray(eps_j), _nhwc(eps_t),
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_full_sampler_matches_torch(models):
+    """Two full denoise steps of the auto-regressive stage — per-step
+    ref noising at ref_t*(N-i) (pipeline.py:420), per-ref 3-row reference
+    pass, per-layer kv concat (:440-443), 3-way CFG (:456-458) and the
+    DDIM update (:461) — via StoryGenSampler.sample vs the literal torch
+    re-execution (naive 3-rows-per-ref; also proves the sampler's CFG-row
+    dedup exact)."""
+    from storygen_tpu.models.vae import AutoencoderKL
+    from storygen_tpu.configs import VAEConfig
+    from storygen_tpu.pipeline import StoryGenSampler
+    unet, params, sd = models
+    n, b, steps = 2, 1, 2
+    lat0 = _rand(30, (b, HW, HW, 4))
+    refs = jnp.stack([_rand(31 + i, (b, HW, HW, 4), 0.5)
+                      for i in range(n)])
+    zero = _rand(33, (b, HW, HW, 4), 0.05)
+    noise = _rand(34, (b, HW, HW, 4))
+    tu, tc = (_rand(35, (b, TXT, CFG.cross_attention_dim)),
+              _rand(36, (b, TXT, CFG.cross_attention_dim)))
+    prev_u = jnp.stack([_rand(37, (b, TXT, CFG.cross_attention_dim))] * n)
+    prev_c = jnp.stack([_rand(40 + i, (b, TXT, CFG.cross_attention_dim))
+                        for i in range(n)])
+    g_txt, g_img = 7.0, 3.5
+
+    vae = AutoencoderKL(config=VAEConfig(
+        block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+        norm_num_groups=2, latent_channels=4))
+    sampler = StoryGenSampler(unet, vae)
+    out_j = sampler.sample({"unet": params, "vae": None}, lat0, tu, tc,
+                           refs, zero, prev_u, prev_c, noise,
+                           jnp.asarray(g_txt), jnp.asarray(g_img),
+                           stage="auto-regressive",
+                           num_inference_steps=steps)
+
+    sched = M.DDIMMirror()
+    ts = sched.timesteps(steps)
+    ratio = 1000 // steps
+
+    def t2(a):  # text and other NHWC-agnostic tensors
+        return torch.from_numpy(np.asarray(a)).double()
+
+    lat = _nchw(lat0)
+    refs_t = t2(refs).permute(0, 1, 4, 2, 3)  # (N,B,H,W,C)->(N,B,C,H,W)
+    for i, t in enumerate(ts):
+        prev_t = ts[i + 1] if i + 1 < len(ts) else int(ts[-1]) - ratio
+        lat = M.storygen_step(
+            sd, CFG, sched, lat, int(t), int(prev_t),
+            t2(tu), t2(tc), refs_t, _nchw(zero), t2(prev_u), t2(prev_c),
+            _nchw(noise), g_txt, g_img, stage="auto-regressive")
+    np.testing.assert_allclose(np.asarray(out_j), _nhwc(lat),
+                               rtol=5e-4, atol=5e-4)
