@@ -25,6 +25,14 @@ def main():
                          "matching TrainConfig.attn_variant)")
     ap.add_argument("--precomputed", action="store_true",
                     help="train from precomputed VAE latent moments")
+    ap.add_argument("--stage", default="stage2",
+                    choices=["stage1", "stage2", "coco", "full"],
+                    help="trainable-subset predicate; 'full' trains every "
+                         "UNet param (the regime where 8-bit Adam state "
+                         "matters)")
+    ap.add_argument("--opt", default="fp32", choices=["fp32", "8bit"],
+                    help="Adam moment storage (8bit = optim8bit.adamw_8bit"
+                         ", reference bnb AdamW8bit equivalent)")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -60,10 +68,11 @@ def main():
     clip = CLIPTextModel(config=CLIPTextConfig(), dtype=dtype)
     clip_params = jax.jit(clip.init)(rng, jnp.zeros((1, 77), jnp.int32))
 
-    cfg = TrainConfig(gradient_accumulation_steps=1)
+    cfg = TrainConfig(gradient_accumulation_steps=1,
+                      use_8bit_adam=args.opt == "8bit")
     tx = optim.make_optimizer(cfg)
     trainable, frozen_unet = optim.partition_params(
-        unet_params, optim.STAGE_PREDICATES["stage2"])
+        unet_params, optim.STAGE_PREDICATES[args.stage])
     sched = S.make_schedule(SchedulerConfig())
     step = jax.jit(steps.make_stage2_step(unet, vae, clip, sched, tx),
                    donate_argnums=(0,))
@@ -102,13 +111,20 @@ def main():
 
     state, m = step(state, frozen, batch, jax.random.PRNGKey(1))
     jax.device_get(m["loss"])
+    try:  # HBM footprint after one step (optimizer state resident)
+        stats = jax.local_devices()[0].memory_stats()
+        print(f"HBM in use: {stats['bytes_in_use']/2**30:.2f} GiB "
+              f"(peak {stats.get('peak_bytes_in_use', 0)/2**30:.2f} GiB)")
+    except Exception as e:
+        print(f"memory_stats unavailable: {e}")
     t0 = time.perf_counter()
     for i in range(args.iters):
         state, m = step(state, frozen, batch, jax.random.PRNGKey(2 + i))
     jax.device_get(m["loss"])
     dt = (time.perf_counter() - t0) / args.iters
-    print(f"stage2 train step: batch {b} remat={args.remat} "
-          f"attn={args.attn} precomputed={args.precomputed}: "
+    print(f"{args.stage} train step: batch {b} remat={args.remat} "
+          f"attn={args.attn} opt={args.opt} "
+          f"precomputed={args.precomputed}: "
           f"{dt*1e3:.0f} ms/step, "
           f"{b/dt:.2f} samples/s/chip, loss={float(m['loss']):.4f}")
 

@@ -8,11 +8,12 @@ stack degrades gracefully:
   text:   easyocr when importable (reference parity) ->
           first-party classical detector (gradient + morphology +
           contour filtering; weights-free) otherwise.
-  person: YOLO via torch.hub / local weights when available ->
-          cv2.FaceDetectorYN when an ONNX file is provided (the masked
-          regions the reference inpaints are presenter faces/hands,
-          data_process/SDM/inpaint.py) -> None (stage still writes
-          text-only masks).
+  person: first-party flax YOLOv7 (detection/yolov7.py — runs the
+          official yolov7.pt weights on TPU, no vendored torch repo) ->
+          YOLO via torch.hub / TorchScript -> cv2.FaceDetectorYN when
+          an ONNX file is provided (the masked regions the reference
+          inpaints are presenter faces/hands, data_process/SDM/
+          inpaint.py) -> None (stage still writes text-only masks).
 
 All detectors share one contract:
   detector(image HWC uint8 RGB) -> [(x1, y1, x2, y2), ...]
@@ -101,6 +102,22 @@ def default_text_detector() -> Callable:
 
 
 # ---------------------------------------------------------------- person
+def yolov7_person_detector(weights: str,
+                           conf: float = 0.5) -> Optional[Callable]:
+    """First-party TPU-native YOLOv7 (detection/yolov7.py): the flax
+    re-implementation of the graph the reference vendors, fed by the
+    official yolov7.pt (or any state_dict export of it). Returns None
+    when the weights file is absent or unreadable."""
+    if not (weights and os.path.exists(weights)):
+        return None
+    try:
+        from storygen_tpu.detection.yolov7 import yolov7_person_detector \
+            as build
+        return build(weights, conf=conf)
+    except Exception:
+        return None
+
+
 def yolo_person_detector(weights: Optional[str] = None,
                          conf: float = 0.5) -> Optional[Callable]:
     """YOLO person boxes (class 0), reference human_ocr_mask.py:15-56
@@ -171,7 +188,13 @@ def face_person_detector(onnx_path: str, conf: float = 0.7,
 def default_person_detector(yolo_weights: Optional[str] = None,
                             face_onnx: Optional[str] = None
                             ) -> Optional[Callable]:
-    det = yolo_person_detector(weights=yolo_weights)
+    """Resolution order: first-party flax YOLOv7 (reference-weight
+    compatible) -> torch-hub/TorchScript YOLO -> face-detector stand-in
+    -> None (text-only masks)."""
+    det = None
+    if yolo_weights:
+        det = yolov7_person_detector(yolo_weights)
+        det = det or yolo_person_detector(weights=yolo_weights)
     if det is None and face_onnx:
         det = face_person_detector(face_onnx)
     return det

@@ -14,6 +14,8 @@ import math
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
+
+from storygen_tpu.ops.shift_conv import SConv
 import jax
 import jax.numpy as jnp
 
@@ -142,7 +144,7 @@ class Conv2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(self.features,
+        return SConv(self.features,
                        kernel_size=(self.kernel_size, self.kernel_size),
                        strides=(self.strides, self.strides),
                        padding=((self.padding, self.padding),
@@ -167,7 +169,7 @@ class ResnetBlock2D(nn.Module):
         in_channels = x.shape[-1]
         h = GroupNorm(self.groups, self.eps, dtype=self.dtype, act="silu",
                       name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+        h = SConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
@@ -175,10 +177,10 @@ class ResnetBlock2D(nn.Module):
             h = h + temb_proj[:, None, None, :]
         h = GroupNorm(self.groups, self.eps, dtype=self.dtype, act="silu",
                       name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+        h = SConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), padding="VALID",
+            x = SConv(self.out_channels, (1, 1), padding="VALID",
                         dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
@@ -193,7 +195,7 @@ class Downsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.padding
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+        return SConv(self.out_channels, (3, 3), strides=(2, 2),
                        padding=((p, p), (p, p)), dtype=self.dtype,
                        name="conv")(x)
 
@@ -211,7 +213,7 @@ class _UpsampleConv(nn.Module):
     (same rule on columns). 16 instead of 36 MACs per output position
     (2.25x fewer FLOPs) and the (B, 2H, 2W, C) nearest-upsampled
     intermediate never exists in HBM. Parameters are identical to
-    nn.Conv(out, (3,3)) — checkpoint layout unchanged."""
+    SConv(out, (3,3)) — checkpoint layout unchanged."""
     out_channels: int
     dtype: Dtype = jnp.float32
 
@@ -229,6 +231,9 @@ class _UpsampleConv(nn.Module):
             taps = ([k0, k1 + k2] if phase == 0 else [k0 + k1, k2])
             return jnp.concatenate(taps, axis=axis)
 
+        from storygen_tpu.ops import shift_conv as SC
+        from storygen_tpu.ops.attention import _on_tpu
+        use_shift = SC.ENABLED and _on_tpu()
         dn = ("NHWC", "HWIO", "NHWC")
         phases = []
         for a in (0, 1):
@@ -236,8 +241,13 @@ class _UpsampleConv(nn.Module):
                 kab = pair(pair(kernel, 0, a), 1, bb).astype(self.dtype)
                 pr = (1, 0) if a == 0 else (0, 1)
                 pc = (1, 0) if bb == 0 else (0, 1)
-                phases.append(jax.lax.conv_general_dilated(
-                    x, kab, (1, 1), (pr, pc), dimension_numbers=dn))
+                if use_shift:
+                    # 2x2 phase kernels ride the shift-GEMM path too
+                    # (ops/shift_conv.py rationale)
+                    phases.append(SC.shift_conv(x, kab, None, 1, (pr, pc)))
+                else:
+                    phases.append(jax.lax.conv_general_dilated(
+                        x, kab, (1, 1), (pr, pc), dimension_numbers=dn))
         y = jnp.stack(phases).reshape(2, 2, b, h, w, self.out_channels)
         y = y.transpose(2, 3, 0, 4, 1, 5).reshape(
             b, 2 * h, 2 * w, self.out_channels)
@@ -263,5 +273,5 @@ class Upsample2D(nn.Module):
         # (mode="nearest") for integer scale factors.
         x = jnp.repeat(jnp.repeat(x, output_size[0] // h, axis=1),
                        output_size[1] // w, axis=2)
-        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+        return SConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, name="conv")(x)

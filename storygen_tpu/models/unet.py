@@ -22,6 +22,8 @@ import functools
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+
+from storygen_tpu.ops.shift_conv import SConv
 import jax
 import jax.numpy as jnp
 
@@ -103,7 +105,7 @@ class UNet2DConditionModel(nn.Module):
         sample = sample.astype(self.dtype)
         encoder_hidden_states = encoder_hidden_states.astype(self.dtype)
         p = (cfg.conv_in_kernel - 1) // 2
-        sample = nn.Conv(cfg.block_out_channels[0],
+        sample = SConv(cfg.block_out_channels[0],
                          (cfg.conv_in_kernel, cfg.conv_in_kernel),
                          padding=((p, p), (p, p)), dtype=self.dtype,
                          name="conv_in")(sample)
@@ -198,7 +200,7 @@ class UNet2DConditionModel(nn.Module):
                            dtype=self.dtype, act="silu",
                            name="conv_norm_out")(sample)
         p = (cfg.conv_out_kernel - 1) // 2
-        sample = nn.Conv(cfg.out_channels,
+        sample = SConv(cfg.out_channels,
                          (cfg.conv_out_kernel, cfg.conv_out_kernel),
                          padding=((p, p), (p, p)), dtype=self.dtype,
                          name="conv_out")(sample)

@@ -318,80 +318,7 @@ def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"))
 
-    if guard and bounded:
-        out = jax.lax.cond(
-            _bnd_domain_ok(qf32, k),
-            lambda: _transposed_fwd(q, k, v, block_mask, scale, bq, bk,
-                                    interpret, masked, bounded=True,
-                                    out_t=True),
-            lambda: _transposed_fwd(q, k, v, block_mask, scale, bq, bk,
-                                    interpret, masked, bounded=False,
-                                    out_t=True))
-        return out if out_t else out.transpose(0, 1, 3, 2)
-
-    if bounded:
-        # Per-row logit upper bound around the key centroid:
-        # s_ij = q k_mean + q (k_j - k_mean) <= q k_mean + |q| max|k_j-k_mean|
-        kf32 = k.astype(jnp.float32)
-        k_mean = kf32.mean(axis=2, keepdims=True)              # (b,h,1,d)
-        resid = jnp.sqrt(jnp.sum((kf32 - k_mean) ** 2, -1))    # (b,h,skv)
-        rmax = resid.max(axis=2, keepdims=True)                # (b,h,1)
-        bound = (jnp.einsum("bhqd,bhkd->bhq", qf32, k_mean)
-                 + jnp.sqrt(jnp.sum(qf32 * qf32, -1)) * rmax)  # (b,h,sq)
-        if nk >= 2:
-            # row-input form: no q/k/v column concats, row sum in-kernel
-            nq = sq // bq
-            bound_rows = jnp.broadcast_to(
-                bound.reshape(b * h, nq, 1, bq), (b * h, nq, 8, bq))
-            qe = qf32.astype(q.dtype).reshape(b * h, sq, d)
-            ke = k.reshape(b * h, skv, d)
-            ve = v.reshape(b * h, skv, d)
-            kern = _bnd2_masked_kernel if masked else _bnd2_kernel
-            out = pl.pallas_call(
-                functools.partial(kern, num_kv_blocks=nk),
-                grid=grid,
-                in_specs=[
-                    *mask_specs,
-                    pl.BlockSpec((1, 1, 8, bq),
-                                 lambda i, j, kk: (i, j, 0, 0)),
-                    pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
-                    pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0)),
-                    pl.BlockSpec((1, bk, d), lambda i, j, kk: (i, kk, 0))],
-                out_specs=pl.BlockSpec((1, d, bq),
-                                       lambda i, j, kk: (i, 0, j)),
-                out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
-                scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32),
-                                pltpu.VMEM((8, bq), jnp.float32)],
-                compiler_params=params,
-                interpret=interpret,
-            )(*mask_args, bound_rows, qe, ke, ve)
-            out = out.reshape(b, h, d, sq)
-            return out if out_t else out.transpose(0, 1, 3, 2)
-        qe = jnp.concatenate(
-            [qf32, -bound[..., None]], -1).astype(q.dtype)
-        ones = jnp.ones((b, h, skv, 1), k.dtype)
-        ke = jnp.concatenate([k, ones], -1)
-        ve = jnp.concatenate([v, ones], -1)
-        de = d + 1
-        qe = qe.reshape(b * h, sq, de)
-        ke = ke.reshape(b * h, skv, de)
-        ve = ve.reshape(b * h, skv, de)
-        kern = _bnd_masked_kernel if masked else _bnd_kernel
-        out = pl.pallas_call(
-            functools.partial(kern, d=d, num_kv_blocks=nk),
-            grid=grid,
-            in_specs=[
-                *mask_specs,
-                pl.BlockSpec((1, bq, de), lambda i, j, kk: (i, j, 0)),
-                pl.BlockSpec((1, bk, de), lambda i, j, kk: (i, kk, 0)),
-                pl.BlockSpec((1, bk, de), lambda i, j, kk: (i, kk, 0))],
-            out_specs=pl.BlockSpec((1, d, bq), lambda i, j, kk: (i, 0, j)),
-            out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
-            scratch_shapes=[pltpu.VMEM((de, bq), jnp.float32)],
-            compiler_params=params,
-            interpret=interpret,
-        )(*mask_args, qe, ke, ve)
-    else:
+    def run_online():
         qe = qf32.astype(q.dtype).reshape(b * h, sq, d)
         ke = k.reshape(b * h, skv, d)
         ve = v.reshape(b * h, skv, d)
@@ -412,7 +339,87 @@ def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
             compiler_params=params,
             interpret=interpret,
         )(*mask_args, qe, ke, ve)
-    out = out.reshape(b, h, d, sq)
+        return out.reshape(b, h, d, sq)
+
+    if bounded:
+        # Per-row logit upper bound around the key centroid:
+        # s_ij = q k_mean + q (k_j - k_mean) <= q k_mean + |q| max|k_j-k_mean|
+        kf32 = k.astype(jnp.float32)
+        k_mean = kf32.mean(axis=2, keepdims=True)              # (b,h,1,d)
+        resid = jnp.sqrt(jnp.sum((kf32 - k_mean) ** 2, -1))    # (b,h,skv)
+        rmax = resid.max(axis=2, keepdims=True)                # (b,h,1)
+        # deviation term doubles as the guard statistic (see docstring):
+        # bound_i - max_j s_ij <= dev_i, already in exp2 units
+        dev = jnp.sqrt(jnp.sum(qf32 * qf32, -1)) * rmax  # (b,h,sq)
+        bound = jnp.einsum("bhqd,bhkd->bhq", qf32, k_mean) + dev
+
+        def run_bnd():
+            if nk >= 2:
+                # row-input form: no q/k/v column concats, row sum
+                # in-kernel
+                nq = sq // bq
+                bound_rows = jnp.broadcast_to(
+                    bound.reshape(b * h, nq, 1, bq), (b * h, nq, 8, bq))
+                qe = qf32.astype(q.dtype).reshape(b * h, sq, d)
+                ke = k.reshape(b * h, skv, d)
+                ve = v.reshape(b * h, skv, d)
+                kern = _bnd2_masked_kernel if masked else _bnd2_kernel
+                out = pl.pallas_call(
+                    functools.partial(kern, num_kv_blocks=nk),
+                    grid=grid,
+                    in_specs=[
+                        *mask_specs,
+                        pl.BlockSpec((1, 1, 8, bq),
+                                     lambda i, j, kk: (i, j, 0, 0)),
+                        pl.BlockSpec((1, bq, d), lambda i, j, kk: (i, j, 0)),
+                        pl.BlockSpec((1, bk, d),
+                                     lambda i, j, kk: (i, kk, 0)),
+                        pl.BlockSpec((1, bk, d),
+                                     lambda i, j, kk: (i, kk, 0))],
+                    out_specs=pl.BlockSpec((1, d, bq),
+                                           lambda i, j, kk: (i, 0, j)),
+                    out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+                    scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32),
+                                    pltpu.VMEM((8, bq), jnp.float32)],
+                    compiler_params=params,
+                    interpret=interpret,
+                )(*mask_args, bound_rows, qe, ke, ve)
+                return out.reshape(b, h, d, sq)
+            qe = jnp.concatenate(
+                [qf32, -bound[..., None]], -1).astype(q.dtype)
+            ones = jnp.ones((b, h, skv, 1), k.dtype)
+            ke = jnp.concatenate([k, ones], -1)
+            ve = jnp.concatenate([v, ones], -1)
+            de = d + 1
+            qe2 = qe.reshape(b * h, sq, de)
+            ke2 = ke.reshape(b * h, skv, de)
+            ve2 = ve.reshape(b * h, skv, de)
+            kern = _bnd_masked_kernel if masked else _bnd_kernel
+            out = pl.pallas_call(
+                functools.partial(kern, d=d, num_kv_blocks=nk),
+                grid=grid,
+                in_specs=[
+                    *mask_specs,
+                    pl.BlockSpec((1, bq, de), lambda i, j, kk: (i, j, 0)),
+                    pl.BlockSpec((1, bk, de), lambda i, j, kk: (i, kk, 0)),
+                    pl.BlockSpec((1, bk, de), lambda i, j, kk: (i, kk, 0))],
+                out_specs=pl.BlockSpec((1, d, bq),
+                                       lambda i, j, kk: (i, 0, j)),
+                out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+                scratch_shapes=[pltpu.VMEM((de, bq), jnp.float32)],
+                compiler_params=params,
+                interpret=interpret,
+            )(*mask_args, qe2, ke2, ve2)
+            return out.reshape(b, h, d, sq)
+
+        if guard:
+            # one shared stats pass; only the two kernel launches sit
+            # under the cond
+            out = jax.lax.cond(dev.max() <= 120.0, run_bnd, run_online)
+        else:
+            out = run_bnd()
+    else:
+        out = run_online()
     return out if out_t else out.transpose(0, 1, 3, 2)
 
 

@@ -1,0 +1,159 @@
+"""Shift-GEMM convolution: exact 2-D conv as K_h*K_w shifted matmuls.
+
+Motivation (scripts/bench_conv.py / bench_conv_variants.py, v5e, bf16):
+XLA's native implicit-GEMM convs run the SD-UNet's 3x3 sites at 84-156
+TF/s (43-79% of the 197 TF/s peak), while the SAME contraction expressed
+as plain dot_generals reaches 150-190 TF/s. Reformulating
+    y[, i, j, o] = sum_{dy, dx} x_pad[, i*s+dy, j*s+dx, c] * w[dy, dx, c, o]
+as K_h*K_w independent (B*H*W, C_in) x (C_in, C_out) matmuls over shifted
+slices of the padded input beats the native conv at EVERY measured UNet
+site (up to 1.9x at the 1280-channel levels, ~25% aggregate). For strided
+convs the im2col single-GEMM form wins instead (the strided slice makes
+the 9 patch slices cheap and the deeper K amortizes).
+
+All formulations are exact (same fp32 accumulation, one final rounding);
+dispatch is by shape + platform in SConv below. Measured deltas live in
+BENCH.md round 3.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+# Ablation escape hatch: set to False (or env STORYGEN_SHIFT_CONV=0 before
+# import) to force the native lax.conv path everywhere.
+import os
+ENABLED = os.environ.get("STORYGEN_SHIFT_CONV", "1") != "0"
+
+
+def _norm_padding(padding, kh: int, kw: int):
+    if padding == "VALID":
+        return ((0, 0), (0, 0))
+    if padding == "SAME":
+        return (((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2))
+    return tuple((int(a), int(b)) for a, b in padding)
+
+
+def shift_conv(x: jax.Array, kernel: jax.Array,
+               bias: Optional[jax.Array] = None,
+               stride: Union[int, Tuple[int, int]] = 1,
+               padding="SAME") -> jax.Array:
+    """Exact NHWC conv via shifted dot_generals (fp32 accumulation).
+
+    kernel: (Kh, Kw, Cin, Cout) HWIO — identical layout to nn.Conv.
+    """
+    kh, kw, cin, cout = kernel.shape
+    sh, sw = (stride, stride) if isinstance(stride, int) else stride
+    (p0, p1), (q0, q1) = _norm_padding(padding, kh, kw)
+    b, h, w, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (p0, p1), (q0, q1), (0, 0)))
+    ho = (h + p0 + p1 - kh) // sh + 1
+    wo = (w + q0 + q1 - kw) // sw + 1
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            xs = jax.lax.slice(
+                xp, (0, dy, dx, 0),
+                (b, dy + (ho - 1) * sh + 1, dx + (wo - 1) * sw + 1, cin),
+                (1, sh, sw, 1))
+            y = jax.lax.dot_general(
+                xs, kernel[dy, dx], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    if bias is not None:
+        acc = acc + bias.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
+def im2col_conv(x: jax.Array, kernel: jax.Array,
+                bias: Optional[jax.Array] = None,
+                stride: Union[int, Tuple[int, int]] = 1,
+                padding="SAME") -> jax.Array:
+    """Exact NHWC conv via patch materialization + one GEMM (wins at
+    strided sites where the slices shrink the patch tensor)."""
+    kh, kw, cin, cout = kernel.shape
+    sh, sw = (stride, stride) if isinstance(stride, int) else stride
+    (p0, p1), (q0, q1) = _norm_padding(padding, kh, kw)
+    b, h, w, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (p0, p1), (q0, q1), (0, 0)))
+    ho = (h + p0 + p1 - kh) // sh + 1
+    wo = (w + q0 + q1 - kw) // sw + 1
+    cols = jnp.concatenate(
+        [jax.lax.slice(
+            xp, (0, dy, dx, 0),
+            (b, dy + (ho - 1) * sh + 1, dx + (wo - 1) * sw + 1, cin),
+            (1, sh, sw, 1))
+         for dy in range(kh) for dx in range(kw)], axis=-1)
+    y = jax.lax.dot_general(
+        cols, kernel.reshape(kh * kw * cin, cout),
+        (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _on_tpu() -> bool:
+    from storygen_tpu.ops.attention import _on_tpu as f
+    return f()
+
+
+class SConv(nn.Module):
+    """Drop-in nn.Conv with TPU shift-GEMM dispatch.
+
+    Parameters are IDENTICAL to flax nn.Conv (kernel (Kh,Kw,Cin,Cout)
+    lecun-normal fp32 + bias zeros), so checkpoint import/export and all
+    param-tree goldens are unchanged. Dispatch:
+      - off-TPU or ENABLED=False: lax.conv (nn.Conv semantics),
+      - 1x1: plain channel dot,
+      - strided: im2col GEMM,
+      - else: shift-GEMM.
+    """
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Union[int, Tuple[int, int]] = (1, 1)
+    padding: Any = "SAME"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        bc = bias.astype(self.dtype)
+        sh, sw = ((self.strides, self.strides)
+                  if isinstance(self.strides, int) else self.strides)
+        if ENABLED and _on_tpu():
+            if kh == 1 and kw == 1 and sh == sw == 1:
+                y = jax.lax.dot_general(
+                    x, k[0, 0], (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return (y + bc.astype(jnp.float32)).astype(self.dtype)
+            if sh > 1 or sw > 1:
+                # im2col materializes a (B, Ho, Wo, Kh*Kw*Cin) patch
+                # tensor; it wins at the UNet's small-spatial strided
+                # sites but the extra HBM pass loses once that tensor is
+                # large (512px VAE encoder: measured +140 ms on the
+                # non-precomputed train step). Cap it.
+                b_, h_, w_ = x.shape[0], x.shape[1] // sh, x.shape[2] // sw
+                cols_bytes = b_ * h_ * w_ * kh * kw * cin * x.dtype.itemsize
+                if cols_bytes <= 64 * 2 ** 20:
+                    return im2col_conv(x, k, bc, (sh, sw), self.padding)
+            else:
+                return shift_conv(x, k, bc, (sh, sw), self.padding)
+        pad = self.padding
+        if pad not in ("SAME", "VALID"):
+            pad = tuple((int(a), int(b)) for a, b in pad)
+        y = jax.lax.conv_general_dilated(
+            x, k, (sh, sw), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bc

@@ -1,0 +1,87 @@
+"""Shift-GEMM / im2col conv formulations: exactness vs lax.conv (fwd +
+grad), SConv param-layout parity with nn.Conv."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from storygen_tpu.ops import shift_conv as SC
+
+
+def _ref_conv(x, k, b, stride, padding):
+    y = jax.lax.conv_general_dilated(
+        x, k, (stride, stride) if isinstance(stride, int) else stride,
+        padding if padding in ("SAME", "VALID") else
+        tuple((int(a), int(c)) for a, c in padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b if b is not None else y
+
+
+@pytest.mark.parametrize("fn", [SC.shift_conv, SC.im2col_conv])
+@pytest.mark.parametrize("kh,kw,stride,padding", [
+    (3, 3, 1, ((1, 1), (1, 1))),
+    (3, 3, 2, ((1, 1), (1, 1))),
+    (1, 1, 1, "VALID"),
+    (2, 2, 1, ((1, 0), (0, 1))),   # upsampler phase-conv padding
+    (3, 3, 1, "SAME"),
+    (3, 3, 1, "VALID"),
+])
+def test_matches_lax_conv(fn, kh, kw, stride, padding):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 12, 10, 7).astype(np.float32))
+    k = jnp.asarray(rng.randn(kh, kw, 7, 5).astype(np.float32))
+    b = jnp.asarray(rng.randn(5).astype(np.float32))
+    out = fn(x, k, b, stride, padding)
+    ref = _ref_conv(x, k, b, stride, padding)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_lax_conv():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 6).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 6, 4).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+
+    def loss(fn, x, k):
+        return (fn(x, k, None, 1, ((1, 1), (1, 1))) * g).sum()
+
+    gx_s, gk_s = jax.grad(lambda x, k: loss(SC.shift_conv, x, k),
+                          argnums=(0, 1))(x, k)
+    gx_r, gk_r = jax.grad(lambda x, k: loss(_ref_conv_nb, x, k),
+                          argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk_s), np.asarray(gk_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _ref_conv_nb(x, k, b, stride, padding):
+    return _ref_conv(x, k, None, stride, padding)
+
+
+def test_sconv_param_layout_and_values_match_nn_conv():
+    """SConv must be a drop-in for nn.Conv: same param names/shapes, same
+    output on the lax.conv path (CPU)."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 5))
+    a = SC.SConv(7, (3, 3), padding=((1, 1), (1, 1)), name="conv")
+    b = nn.Conv(7, (3, 3), padding=((1, 1), (1, 1)), name="conv")
+    pa = a.init(rng, x)
+    pb = b.init(rng, x)
+    sa = jax.tree.map(lambda t: t.shape, pa)
+    sb = jax.tree.map(lambda t: t.shape, pb)
+    assert sa == sb
+    # identical params -> identical output (CPU falls to lax.conv)
+    np.testing.assert_allclose(np.asarray(a.apply(pb, x)),
+                               np.asarray(b.apply(pb, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_strided_shapes():
+    x = jnp.zeros((1, 64, 64, 8))
+    k = jnp.zeros((3, 3, 8, 16))
+    for fn in (SC.shift_conv, SC.im2col_conv):
+        assert fn(x, k, None, 2, ((1, 1), (1, 1))).shape == (1, 32, 32, 16)
