@@ -69,10 +69,12 @@ NEG_INF = -1e30
 LOG2E = 1.4426950408889634
 
 # Forward kernel variant: "bnd_guard" (default: the stats-free "bnd"
-# kernel with a free domain check that lax.cond-falls back to the exact
-# "online_t" kernel when logits could leave the exp2 range — fast AND
-# unconditionally exact), "bnd" (raw bounded kernel, no guard),
-# "online_t" (transposed exact online softmax), "grid" (original).
+# kernel with its per-row logit bound's deviation term clamped at 120
+# exp2-units — exact through ~2x the raw kernel's domain, and NaN-loud
+# instead of silently zeroing beyond it; no lax.cond, no dispatch
+# overhead — see _transposed_fwd), "bnd" (raw bounded kernel, no
+# clamp), "online_t" (transposed exact online softmax), "grid"
+# (original).
 # Module-level default; callers can thread an explicit variant through
 # flash_attention(variant=...) / the models' attn_variant attribute.
 FORWARD_VARIANT = "bnd_guard"
@@ -93,19 +95,23 @@ def _bnd_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, d: int,
     s_t = jax.lax.dot_general(
         k_ref[0], q_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # (BK, BQ), <= 0
-    p_t = jnp.exp2(s_t)
     if mask_ref is not None:
-        # whole-block keep/drop: zero dropped blocks' probabilities (the
-        # ones-column row sum is zeroed with them).
-        p_t = p_t * mask_ref[pl.program_id(0), ki]
+        # whole-block keep/drop BEFORE exp2: with kept-only bound stats
+        # a dropped block's logits may exceed the bound, and exp2->inf
+        # then *0 would be NaN; additive -1e30 makes exp2 exactly 0.
+        s_t = s_t + (mask_ref[pl.program_id(0), ki] - 1.0) * (-NEG_INF)
+    p_t = jnp.exp2(s_t)
     acc_ref[:] += jax.lax.dot_general(
         v_ref[0], p_t.astype(v_ref.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # (D+1, BQ)
 
     @pl.when(ki == num_kv_blocks - 1)
     def _fin():
+        # floor below exp2(-120) (the smallest in-domain row sum) so the
+        # clamp never engages inside the guard domain; must stay a
+        # NORMAL fp32 (subnormals flush to zero -> 0/0 NaN)
         o_ref[0] = (acc_ref[:d, :]
-                    / jnp.maximum(acc_ref[d:d + 1, :], 1e-30)
+                    / jnp.maximum(acc_ref[d:d + 1, :], 1.2e-38)
                     ).astype(o_ref.dtype)
 
 
@@ -132,9 +138,10 @@ def _bnd2_kernel(bound_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
     s_t = jax.lax.dot_general(
         k_ref[0], q_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # (BK, BQ)
-    p_t = jnp.exp2(s_t - bound_ref[0, 0, :1, :])
     if mask_ref is not None:
-        p_t = p_t * mask_ref[pl.program_id(0), ki]
+        # additive pre-exp2 drop (see _bnd_kernel: avoids inf*0 NaN)
+        s_t = s_t + (mask_ref[pl.program_id(0), ki] - 1.0) * (-NEG_INF)
+    p_t = jnp.exp2(s_t - bound_ref[0, 0, :1, :])
     l_ref[:1, :] += jnp.sum(p_t, axis=0, keepdims=True)
     acc_ref[:] += jax.lax.dot_general(
         v_ref[0], p_t.astype(v_ref.dtype), (((0,), (0,)), ((), ())),
@@ -142,8 +149,9 @@ def _bnd2_kernel(bound_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
 
     @pl.when(ki == num_kv_blocks - 1)
     def _fin():
+        # see _bnd_kernel: floor below the smallest in-domain row sum
         o_ref[0] = (acc_ref[:]
-                    / jnp.maximum(l_ref[:1, :], 1e-30)).astype(o_ref.dtype)
+                    / jnp.maximum(l_ref[:1, :], 1.2e-38)).astype(o_ref.dtype)
 
 
 def _bnd2_masked_kernel(mask_ref, bound_ref, q_ref, k_ref, v_ref, o_ref,
@@ -296,14 +304,25 @@ def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
     kernel's NATIVE (B, H, D, Sq) when out_t=True (callers fold the head
     merge into the output projection instead of paying a relayout).
 
-    guard=True ("bnd_guard"): run the bounded kernel only when its exp2
-    domain provably holds, else lax.cond-fallback to the exact online_t
-    kernel for the whole call. The check is free given the bound math:
-    mean_j s_ij = q_i k_mean exactly (logits are linear in k), and
-    max_j >= mean_j, so bound_i - max_j s_ij <= |q_i| max_j|k_j - k_mean|
-    = the bound's deviation term. If that gap (already in exp2 units)
-    stays under 120 < the fp32 exp2 range, no row can fully underflow —
-    the guarded variant is unconditionally exact."""
+    guard=True ("bnd_guard"): clamp the bound's deviation term at 120
+    exp2-units instead of branching. The softmax ratio is invariant to
+    the per-row bound (numerator and denominator carry the same
+    exp2(-bound_i) scaling), so ANY bound keeps the math exact as long
+    as nothing over/underflows. Domain analysis: mean_j s_ij = q_i
+    k_mean exactly (logits are linear in k) and max_j >= mean_j, so
+    bound_i - max_j s_ij <= dev_i := |q_i| max_j|k_j - k_mean|. With
+    dev clamped at 120 the row sum lies in [exp2(-120), skv *
+    exp2(dev_i - 120)]: for dev_i <= 120 the clamp is a no-op (the old
+    guarded domain, denominator floor 1e-38 < exp2(-120)); for 120 <
+    dev_i <= ~128 + 120 - log2(skv) (~234 at the attn3 kv length) the
+    clamp engages but the result is still the exact softmax; beyond
+    that the sum overflows to inf and the rows go NaN — a LOUD failure,
+    never the raw bnd kernel's silent all-zero rows. Unlike the former
+    lax.cond fallback this costs no closed-call dispatch per attention
+    site (~3 ms/step across the sampler's ~32 sites). For masked calls
+    the centroid/deviation stats are computed over KEPT blocks only, so
+    the same analysis holds relative to the keys that actually enter
+    the row sum (a far-off dropped block cannot hoist the bound)."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
     nk = skv // bk
@@ -345,12 +364,27 @@ def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
         # Per-row logit upper bound around the key centroid:
         # s_ij = q k_mean + q (k_j - k_mean) <= q k_mean + |q| max|k_j-k_mean|
         kf32 = k.astype(jnp.float32)
-        k_mean = kf32.mean(axis=2, keepdims=True)              # (b,h,1,d)
-        resid = jnp.sqrt(jnp.sum((kf32 - k_mean) ** 2, -1))    # (b,h,skv)
-        rmax = resid.max(axis=2, keepdims=True)                # (b,h,1)
-        # deviation term doubles as the guard statistic (see docstring):
+        if masked:
+            # stats over KEPT kv only — the domain analysis is relative
+            # to the keys that actually enter the row sum; a dropped
+            # block's keys must not shift the centroid (a far-off masked
+            # block would otherwise hoist the bound above every kept
+            # logit and underflow kept rows)
+            keep = jnp.repeat(block_mask.astype(jnp.float32), bk,
+                              axis=1)[:, None, :, None]        # (b,1,skv,1)
+            nkept = jnp.maximum(keep.sum(axis=2, keepdims=True), 1.0)
+            k_mean = (kf32 * keep).sum(axis=2, keepdims=True) / nkept
+            resid = jnp.sqrt(jnp.sum((kf32 - k_mean) ** 2, -1))
+            rmax = (resid * keep[..., 0]).max(axis=2, keepdims=True)
+        else:
+            k_mean = kf32.mean(axis=2, keepdims=True)          # (b,h,1,d)
+            resid = jnp.sqrt(jnp.sum((kf32 - k_mean) ** 2, -1))  # (b,h,skv)
+            rmax = resid.max(axis=2, keepdims=True)            # (b,h,1)
         # bound_i - max_j s_ij <= dev_i, already in exp2 units
         dev = jnp.sqrt(jnp.sum(qf32 * qf32, -1)) * rmax  # (b,h,sq)
+        if guard:
+            # exactness-preserving clamp (see docstring) — no branch
+            dev = jnp.minimum(dev, 120.0)
         bound = jnp.einsum("bhqd,bhkd->bhq", qf32, k_mean) + dev
 
         def run_bnd():
@@ -412,12 +446,7 @@ def _transposed_fwd(q, k, v, block_mask, scale, bq, bk, interpret, masked,
             )(*mask_args, qe2, ke2, ve2)
             return out.reshape(b, h, d, sq)
 
-        if guard:
-            # one shared stats pass; only the two kernel launches sit
-            # under the cond
-            out = jax.lax.cond(dev.max() <= 120.0, run_bnd, run_online)
-        else:
-            out = run_bnd()
+        out = run_bnd()
     else:
         out = run_online()
     return out if out_t else out.transpose(0, 1, 3, 2)
@@ -774,9 +803,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     Requires Sq % block_q == 0 and Skv % block_k == 0 after auto-shrink;
     gate with `flash_supported` / `ref_mask_block_k`.
 
-    variant: "bnd_guard" (exact with auto-fallback; the default),
-    "bnd", "online_t", or "grid" — see the module docstring. None uses
-    the module default FORWARD_VARIANT.
+    variant: "bnd_guard" (bounded kernel with the deviation-term clamp:
+    exact in and well past the raw domain, NaN-loud beyond; the
+    default), "bnd", "online_t", or "grid" — see the module docstring.
+    None uses the module default FORWARD_VARIANT.
 
     out_layout: "bhsd" (default) or "bhds" — the transposed kernels write
     (B, H, D, Sq) natively; "bhds" returns that layout so callers can fold

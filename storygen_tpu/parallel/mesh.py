@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -30,9 +31,38 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_hybrid_mesh(n_slices: int,
+                     devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """2-D (dcn, data) mesh for multi-slice data parallelism.
+
+    Axis 0 spans pod slices (linked by DCN), axis 1 the chips within a
+    slice (ICI). The batch shards over BOTH axes (`batch_sharding`
+    returns P(('dcn', 'data')) on this mesh), so the gradient psum
+    decomposes hierarchically: a fat intra-slice reduce over ICI plus a
+    small inter-slice reduce of per-slice partial sums over DCN — the
+    standard hierarchical-DP layout for multislice TPU. On real
+    multi-slice hardware build the device array with
+    jax.experimental.mesh_utils.create_hybrid_device_mesh so axis 0
+    aligns with slice boundaries; the reshape below is exact for
+    single-host virtual meshes (tests) and single-slice order.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % n_slices:
+        raise ValueError(f"{n} devices not divisible into {n_slices} slices")
+    arr = np.asarray(devices).reshape(n_slices, n // n_slices)
+    return Mesh(arr, (DCN_AXIS, DATA_AXIS))
+
+
+def _batch_axes(mesh: Mesh):
+    """Every mesh axis participates in batch sharding (hierarchical DP)."""
+    return tuple(mesh.axis_names)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis across the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) axis across all data axes of the mesh."""
+    return NamedSharding(mesh, P(_batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -54,7 +84,7 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     (2, 512, 512, 3) image batch looks ref-major.)
     """
     bs = batch_sharding(mesh)
-    ref_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    ref_sh = NamedSharding(mesh, P(None, _batch_axes(mesh)))
 
     def place(path, x):
         x = np.asarray(x)

@@ -81,15 +81,16 @@ def test_bnd_validity_domain():
                                rtol=2e-3, atol=2e-3)
 
 
-def test_bnd_guard_falls_back_out_of_domain():
-    """"bnd_guard" must stay exact on inputs that push the bounded
-    kernel out of its exp2 domain (where raw "bnd" silently underflows
-    rows to zero) by lax.cond-falling back to the exact online kernel."""
+def test_bnd_guard_exact_past_raw_domain():
+    """"bnd_guard" clamps the bound's deviation term at 120 exp2-units;
+    the softmax ratio is invariant to the bound, so the kernel stays
+    EXACT even when the clamp engages (dev in (120, ~240)) — the regime
+    where the raw "bnd" kernel already drifts toward silent underflow."""
     rng = np.random.RandomState(3)
     b, h, sq, skv, d = 1, 1, 128, 256, 40
-    # amplitude 60: |q| ~ 60*sqrt(40), bound deviation term >> exp2 range
-    q = jnp.asarray(60 * rng.randn(b, h, sq, d), dtype=jnp.float32)
-    k = jnp.asarray(60 * rng.randn(b, h, skv, d), dtype=jnp.float32)
+    # amplitude 4.5: dev = |q'| * max|k - k_mean| lands in ~(120, 240)
+    q = jnp.asarray(4.5 * rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = jnp.asarray(4.5 * rng.randn(b, h, skv, d), dtype=jnp.float32)
     v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
     scale = d ** -0.5
     from storygen_tpu.ops.pallas_attention import _bnd_domain_ok, LOG2E
@@ -100,16 +101,58 @@ def test_bnd_guard_falls_back_out_of_domain():
                               variant="bnd_guard")
     np.testing.assert_allclose(np.asarray(guarded), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
-    # documented failure mode of the unguarded kernel on the same input:
-    # rows fully underflow -> all-zero output (why the guard exists)
+
+
+def test_bnd_guard_masked_ignores_dropped_block_stats():
+    """The guarded bound must be computed over KEPT kv blocks only: a
+    dropped block with a far-off key cluster would otherwise hoist the
+    centroid bound above every kept logit and silently underflow the
+    kept rows. (Training's random 1-3-ref kv masking is exactly this
+    shape.)"""
+    rng = np.random.RandomState(11)
+    b, h, sq, skv, d = 1, 2, 128, 384, 40
+    q = jnp.asarray(rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = np.asarray(rng.randn(b, h, skv, d), np.float32)
+    # dropped middle block: keys pushed 300 sigma away from the kept ones
+    k[:, :, 128:256, :] += 300.0
+    k = jnp.asarray(k)
+    v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    scale = d ** -0.5
+    bm = jnp.asarray([[1.0, 0.0, 1.0]])
+    mask = jnp.repeat(bm.astype(bool), skv // 3, axis=1)[:, None, None, :]
+    ref = xla_attention(q, k, v, scale, mask=mask)
+    out = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128,
+                          interpret=True, variant="bnd_guard",
+                          block_mask=bm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_bnd_guard_fails_loud_beyond_overflow():
+    """Far beyond the clamp's exact range the row sum overflows to inf
+    and the output goes NaN — a LOUD failure. The raw "bnd" kernel on
+    the same input silently underflows rows toward zero (the ADVICE-r2
+    hazard the guard exists to remove)."""
+    rng = np.random.RandomState(3)
+    b, h, sq, skv, d = 1, 1, 128, 256, 40
+    q = jnp.asarray(60 * rng.randn(b, h, sq, d), dtype=jnp.float32)
+    k = jnp.asarray(60 * rng.randn(b, h, skv, d), dtype=jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, skv, d), dtype=jnp.float32)
+    scale = d ** -0.5
+    guarded = flash_attention(q, k, v, scale=scale, block_q=128,
+                              block_k=128, interpret=True,
+                              variant="bnd_guard")
+    assert not np.isfinite(np.asarray(guarded)).all()
+    ref = xla_attention(q, k, v, scale)
     raw = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128,
                           interpret=True, variant="bnd")
+    assert np.isfinite(np.asarray(raw)).all()  # silent, not loud...
     assert np.abs(np.asarray(raw)).max() < np.abs(np.asarray(ref)).max()
 
 
 def test_bnd_guard_uses_fast_path_in_domain():
-    """On in-domain inputs the guard predicate is True, so bnd_guard
-    takes the bounded kernel branch and matches it bitwise."""
+    """On in-domain inputs the deviation clamp is a no-op, so bnd_guard
+    runs the identical bounded kernel and matches raw "bnd"."""
     rng = np.random.RandomState(5)
     b, h, sq, skv, d = 1, 2, 128, 256, 40
     q = jnp.asarray(rng.randn(b, h, sq, d), dtype=jnp.float32)

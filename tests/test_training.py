@@ -170,6 +170,35 @@ def test_data_parallel_8_devices(models):
                                atol=1e-6)
 
 
+def test_hybrid_multislice_mesh(models):
+    """Hierarchical DP over a 2-slice x 4-chip (dcn, data) hybrid mesh:
+    the batch shards over both axes and the gradient psum decomposes
+    into intra-slice (ICI) + inter-slice (DCN) reduces. Loss and updates
+    must match the single-device step (batch mean is layout invariant)."""
+    stage = "stage2"
+    step, state, frozen = _setup_stage(models, stage)
+    batch = _batch(8, with_refs=True, seed=3)
+
+    single = jax.jit(step)(state, frozen, batch, jax.random.PRNGKey(2))
+
+    mesh = M.make_hybrid_mesh(2)  # 8 CPU devices -> (2, 4) (dcn, data)
+    assert mesh.axis_names == (M.DCN_AXIS, M.DATA_AXIS)
+    state_r = M.replicate(jax.tree.map(jnp.copy, state), mesh)
+    frozen_r = M.replicate(frozen, mesh)
+    batch_s = M.shard_batch(batch, mesh)
+    # batch rows spread over all 8 devices (both mesh axes)
+    assert len(batch_s["image"].sharding.device_set) == 8
+    dp_step = M.jit_train_step(step, mesh)
+    new_state, metrics = dp_step(state_r, frozen_r, batch_s,
+                                 jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(single[1]["loss"]), rtol=1e-4)
+    a = jax.tree.leaves(single[0].trainable)[0]
+    b = jax.tree.leaves(new_state.trainable)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-6)
+
+
 def test_data_parallel_serving(models):
     """Batched inference sharded over the 8-device mesh matches
     single-device sampling."""
