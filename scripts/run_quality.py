@@ -72,6 +72,14 @@ def main():
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--num_inference_steps", type=int, default=40)
     ap.add_argument("--platform", default=None)
+    # opt-in speed knobs (BENCH.md "Opt-in accelerations"): rerun the
+    # same protocol under a knob and diff the metrics against the exact
+    # path to MEASURE the quality cost the knob table claims
+    ap.add_argument("--sampler", default="ddim",
+                    choices=["ddim", "dpm++", "euler"])
+    ap.add_argument("--ref_feature_interval", type=int, default=1)
+    ap.add_argument("--out", default="quality.json",
+                    help="output json filename under --root")
     args = ap.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
@@ -122,7 +130,9 @@ def main():
         bundle["text_params"], tokenizer, bundle["scheduler_config"])
 
     test_ds = StorySalonDataset(args.data, "test")
-    gen_dir = os.path.join(args.root, "gen")
+    tag = os.path.splitext(os.path.basename(args.out))[0]
+    gen_dir = os.path.join(args.root,
+                           "gen" if tag == "quality" else f"gen_{tag}")
     gt_dir = os.path.join(args.root, "gt")
     cap_dir = os.path.join(args.root, "captions")
     for d in (gen_dir, gt_dir, cap_dir):
@@ -137,6 +147,8 @@ def main():
                    prev_prompt=[[p] for p in s["ref_prompts"]],
                    num_inference_steps=args.num_inference_steps,
                    guidance_scale=7.0, image_guidance_scale=3.5,
+                   sampler=args.sampler,
+                   ref_feature_interval=args.ref_feature_interval,
                    rng=jax.random.PRNGKey(i))
         Image.fromarray((out[0] * 255).astype(np.uint8)).save(
             os.path.join(gen_dir, f"{i:04d}.png"))
@@ -171,8 +183,10 @@ def main():
                "clip_fid": m_fid, "pickscore": m_pick,
                "num_windows": len(test_ds),
                "num_inference_steps": args.num_inference_steps,
+               "sampler": args.sampler,
+               "ref_feature_interval": args.ref_feature_interval,
                "checkpoint": ckpt}
-    with open(os.path.join(args.root, "quality.json"), "w") as f:
+    with open(os.path.join(args.root, args.out), "w") as f:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics))
 
