@@ -1,0 +1,85 @@
+"""Per-site conv roofline: measured time vs the TRUE bound per site.
+
+BENCH.md's conv bucket row cites "150-190 TF/s vs the 197 TF/s bf16
+peak" (76-96%). The naive MXU peak is the wrong bound for the low end:
+the shift-GEMM formulation (ops/shift_conv.py) re-reads the input once
+per tap, so wide-spatial/narrow-channel sites (L1, 64x64x320) are
+partially HBM-bound. This script computes, per UNet site and for the
+formulation SConv actually dispatches:
+
+  t_mxu  = FLOPs / 197 TF/s            (bf16 systolic peak, depth>=128)
+  t_hbm  = min-bytes / 819 GB/s        (v5e-1 HBM BW)
+           min-bytes = taps*in_read + w + out_write   (shift9)
+                       patches_write+read + w + out   (im2col)
+  bound  = max(t_mxu, t_hbm)
+  pct    = bound / measured            (>=0.8 == "at the roofline")
+
+and prints a table to drop into BENCH.md. Uses the elision-proof
+chained-fori timing from scripts/bench_conv.py.
+
+Run on the real chip: python scripts/roofline_conv.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from scripts.bench_conv import SITES, bench
+from storygen_tpu.ops.shift_conv import im2col_conv, shift_conv
+
+PEAK_BF16 = 197e12   # v5e MXU bf16
+HBM_BW = 819e9       # v5e HBM
+
+
+def site_model(b, h, cin, cout, stride, formulation):
+    """(flops, min_bytes) for one 3x3 site."""
+    ho = wo = h // stride
+    m = b * ho * wo
+    flops = 2.0 * m * 9 * cin * cout
+    in_bytes = b * h * h * cin * 2          # bf16 activations
+    w_bytes = 9 * cin * cout * 2
+    out_bytes = m * cout * 2
+    if formulation == "shift9":
+        # nine dots, each reading a full shifted view of the input; the
+        # partial-sum adds fuse into dot epilogues (optimistic: no
+        # accumulator HBM round-trips — that's what makes this a BOUND)
+        bytes_ = 9 * in_bytes + w_bytes + out_bytes
+    else:  # im2col: patches materialized once (write + read) then 1 GEMM
+        patch_bytes = m * 9 * cin * 2
+        bytes_ = in_bytes + 2 * patch_bytes + w_bytes + out_bytes
+    return flops, bytes_
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    rows = []
+    for (name, h, cin, cout, stride) in SITES:
+        for b in (9,):  # ref(6)+main(3) rows — the sampler operating point
+            formulation = "im2col" if stride > 1 else "shift9"
+            op = (lambda x, w: im2col_conv(x, w, stride=stride)) \
+                if stride > 1 else (lambda x, w: shift_conv(x, w))
+            x = jax.random.normal(jax.random.PRNGKey(0), (b, h, h, cin),
+                                  jnp.bfloat16)
+            w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),
+                                  jnp.bfloat16) * 0.02
+            t = bench(op, x, w, iters=300)
+            flops, bytes_ = site_model(b, h, cin, cout, stride, formulation)
+            t_mxu, t_hbm = flops / PEAK_BF16, bytes_ / HBM_BW
+            bound = max(t_mxu, t_hbm)
+            rows.append((name, b, formulation, t * 1e3, flops / t / 1e12,
+                         t_mxu * 1e3, t_hbm * 1e3, bound / t,
+                         "HBM" if t_hbm > t_mxu else "MXU"))
+    hdr = (f"{'site':28} {'b':>2} {'form':>7} {'ms':>7} {'TF/s':>6} "
+           f"{'t_mxu':>7} {'t_hbm':>7} {'%bound':>7} bound")
+    print(hdr)
+    print("-" * len(hdr))
+    for r in rows:
+        print(f"{r[0]:28} {r[1]:>2} {r[2]:>7} {r[3]:7.3f} {r[4]:6.1f} "
+              f"{r[5]:7.3f} {r[6]:7.3f} {100*r[7]:6.1f}% {r[8]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,23 @@ def main():
     results["geglu_relerr"] = ge
     ok &= ge < TOL_FWD
 
+    # VMEM halo conv kernel (UNet L1-site shape, reduced batch)
+    from storygen_tpu.ops.pallas_conv import conv3x3
+    from storygen_tpu.ops.shift_conv import shift_conv
+    kc = jax.random.split(rng, 4)
+    xc = jax.random.normal(kc[0], (2, 64, 64, 320), jnp.bfloat16)
+    wc = jax.random.normal(kc[1], (3, 3, 320, 320), jnp.bfloat16) * 0.03
+    bc = jax.random.normal(kc[2], (320,), jnp.bfloat16) * 0.1
+    got_c = jax.jit(lambda x, w, b: conv3x3(x, w, b, 32))(
+        xc, wc, bc).astype(jnp.float32)
+    want_c = jax.jit(shift_conv)(
+        xc.astype(jnp.float32), wc.astype(jnp.float32),
+        bc.astype(jnp.float32))
+    ce = float(jnp.abs(got_c - want_c).max()
+               / (jnp.abs(want_c).max() + 1e-6))
+    results["halo_conv_relerr"] = ce
+    ok &= ce < TOL_FWD
+
     print(json.dumps({"ok": bool(ok), "backend": backend,
                       "shape": [b, h, sq, skv, d], **results}))
     return 0 if ok else 1

@@ -1,0 +1,178 @@
+"""VMEM-resident halo convolution (Pallas TPU): 3x3 stride-1 NHWC.
+
+Why this kernel exists (scripts/roofline_conv.py, BENCH.md round 3): the
+shift-GEMM formulation (ops/shift_conv.py) re-reads the input once per
+tap, so the UNet's wide-spatial narrow-channel L1 sites (64x64, 320-960
+channels) run at 29-67% of their roofline while the deep L2-L4 sites sit
+at 75-95%. Here each grid step DMAs ONE (block_h+2)-row halo slab of the
+padded input from HBM into VMEM and feeds all nine tap-GEMMs from VMEM,
+with the fp32 partial sums living entirely in registers/VMEM:
+
+  HBM traffic = 1x input read + 1x output write   (vs 9x reads + XLA's
+  partial-sum scheduling for shift-GEMM)
+
+Grid is (B, H/block_h); the halo rows make adjacent slabs OVERLAP, which
+BlockSpec index maps cannot express (start = index * block_shape), hence
+the manual `pltpu.make_async_copy` from a `pltpu.HBM`-space operand. The
+inner loop runs dx (sublane shift — one cheap relayout per dx) outer and
+dy (tile-row slice — free) inner, so only 3 shifted views are
+materialized per slab, not 9.
+
+The public entry `conv3x3` is a jax.custom_vjp: forward is this kernel,
+backward is expressed with the already-tested XLA formulations (input
+grad = shift-GEMM conv with the spatially flipped, io-transposed kernel;
+weight grad = 9 tap dot_generals with a B*H*W contraction the MXU
+loves), so SConv stays trainable.
+
+Parity anchor: this computes exactly diffusers' Conv2d(3,3,pad=1) sites
+used by the reference UNet/VAE (/root/reference/model/unet_2d_blocks.py
+via ResnetBlock2D); numerics match shift_conv bit-for-bit in fp32
+accumulation up to add-reassociation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from storygen_tpu.ops.shift_conv import shift_conv
+
+# v5e VMEM is ~16 MB/core; leave headroom for Mosaic's own buffers.
+VMEM_BUDGET = 12 * 2 ** 20
+
+
+def _kernel(xp_ref, w_ref, b_ref, o_ref, slab, sem, *, bh: int, w: int,
+            cin: int, cout: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xp_ref.at[b, pl.ds(i * bh, bh + 2)], slab, sem)
+    dma.start()
+    dma.wait()
+    acc = None
+    for dx in range(3):
+        # one sublane-shifted view per dx; dy slices along the untiled
+        # leading dim are free
+        xs3 = slab[:, dx:dx + w, :]
+        for dy in range(3):
+            xs = xs3[dy:dy + bh].reshape(bh * w, cin)
+            y = jax.lax.dot_general(
+                xs, w_ref[3 * dy + dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.reshape(bh, w, cout).astype(o_ref.dtype)
+
+
+def pick_block_h(h: int, w: int, cin: int, cout: int,
+                 itemsize: int = 2) -> Optional[int]:
+    """Largest row-slab height whose working set fits the VMEM budget.
+
+    Working set: halo slab + one dx-shifted view + full weights + double-
+    buffered output block + fp32 accumulator. Returns None if no slab
+    height fits (caller falls back to shift-GEMM).
+    """
+    wp = w + 2 + (-(w + 2)) % 8
+    cinp = cin + (-cin) % 128
+    for bh in (32, 16, 8):
+        if h % bh:
+            continue
+        need = ((bh + 2) * wp * cinp * itemsize          # slab
+                + (bh + 2) * w * cinp * itemsize         # live dx view
+                + 9 * cinp * cout * itemsize             # weights
+                + 2 * bh * w * cout * itemsize           # out blocks
+                + bh * w * cout * 4)                     # fp32 acc
+        if need <= VMEM_BUDGET:
+            return bh
+    return None
+
+
+def halo_conv(x: jax.Array, kernel: jax.Array,
+              bias: Optional[jax.Array] = None,
+              block_h: Optional[int] = None,
+              interpret: bool = False) -> jax.Array:
+    """3x3 stride-1 SAME conv, NHWC, kernel HWIO — forward only.
+
+    Requires H % block_h == 0 (pick_block_h guarantees it). Accumulates
+    in fp32, returns x.dtype.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    assert (kh, kw) == (3, 3), "halo_conv is specialized to 3x3"
+    bh = block_h or pick_block_h(h, w, cin, cout, x.dtype.itemsize)
+    assert bh is not None and h % bh == 0, (h, bh)
+    # Mosaic requires DMA slice extents on tiled dims (sublane 8, lane
+    # 128) to be tile-aligned even in HBM: pad the W halo to a multiple
+    # of 8 and Cin to a multiple of 128. The zero channels multiply zero
+    # weight rows, so the math is unchanged; the kernel only ever reads
+    # columns [dx, dx + w). One fused XLA pad pass covers H/W/C at once.
+    wp = w + 2 + (-(w + 2)) % 8
+    cinp = cin + (-cin) % 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, cinp - cin)))
+    w9 = jnp.pad(kernel, ((0, 0), (0, 0), (0, cinp - cin), (0, 0))) \
+        .reshape(9, cinp, cout).astype(x.dtype)
+    b2 = (bias if bias is not None
+          else jnp.zeros((cout,), x.dtype)).reshape(1, cout)
+    return pl.pallas_call(
+        functools.partial(_kernel, bh=bh, w=w, cin=cinp, cout=cout),
+        grid=(b, h // bh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),         # xp stays in HBM
+            pl.BlockSpec((9, cinp, cout), lambda bb, ii: (0, 0, 0)),
+            pl.BlockSpec((1, cout), lambda bb, ii: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w, cout),
+                               lambda bb, ii: (bb, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 2, wp, cinp), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, w9, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+            block_h: Optional[int] = None,
+            interpret: bool = False) -> jax.Array:
+    """Differentiable halo-kernel conv (3x3 stride-1 SAME, NHWC/HWIO)."""
+    return halo_conv(x, kernel, bias, block_h=block_h, interpret=interpret)
+
+
+def _conv3x3_fwd(x, kernel, bias, block_h, interpret):
+    return (halo_conv(x, kernel, bias, block_h=block_h,
+                      interpret=interpret), (x, kernel))
+
+
+def _conv3x3_bwd(block_h, interpret, res, g):
+    x, kernel = res
+    del block_h, interpret
+    # dL/dx: correlate g with the spatially flipped, io-transposed kernel
+    # (transpose-conv of a stride-1 SAME 3x3 is itself a SAME 3x3 conv).
+    k_flip = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
+    dx = shift_conv(g, k_flip.astype(g.dtype))
+    # dL/dw[t]: tap-slice(x_pad)^T . g — contraction over B*H*W.
+    b, h, w, cin = x.shape
+    cout = g.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    gf = g.reshape(b * h * w, cout)
+    dws = []
+    for dy in range(3):
+        for dxx in range(3):
+            xs = jax.lax.slice(
+                xp, (0, dy, dxx, 0),
+                (b, dy + h, dxx + w, cin)).reshape(b * h * w, cin)
+            dws.append(jax.lax.dot_general(
+                xs, gf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    dw = jnp.stack(dws).reshape(3, 3, cin, cout).astype(kernel.dtype)
+    db = g.sum((0, 1, 2)).astype(jnp.float32).astype(g.dtype)
+    return dx.astype(x.dtype), dw, db
+
+
+conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)

@@ -1,0 +1,78 @@
+"""Halo conv kernel (ops/pallas_conv.py) vs the XLA shift-GEMM reference
+(interpret mode on CPU; the same kernel compiles via Mosaic on TPU —
+chip numerics are covered by scripts/tpu_kernel_check.py /
+tests/test_tpu_kernels.py when a chip is reachable)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from storygen_tpu.ops.pallas_conv import (VMEM_BUDGET, conv3x3, halo_conv,
+                                          pick_block_h)
+from storygen_tpu.ops.shift_conv import shift_conv
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 16, 16, 24, 16, 8),    # multi-slab, multi-batch
+    (1, 32, 16, 8, 8, 16),     # tall
+    (3, 16, 8, 16, 24, None),  # auto block_h, cout > cin
+    (1, 8, 8, 12, 8, 8),       # single slab == whole image
+])
+def test_halo_conv_matches_shift_conv(shape):
+    b, h, w, cin, cout, bh = shape
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+    y = halo_conv(x, k, bias, block_h=bh, interpret=True)
+    ref = shift_conv(x, k, bias)
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
+def test_halo_conv_bf16_io_fp32_accumulation():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 16, 8, 16), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, 16, 8) * 0.1, jnp.bfloat16)
+    y = halo_conv(x, k, block_h=8, interpret=True)
+    ref = shift_conv(x, k)
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-2)
+
+
+def test_conv3x3_grads_match_shift_conv():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 16, 8, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 8, 8) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.randn(1, 16, 8, 8), jnp.float32)
+
+    def loss(fn):
+        return jax.grad(lambda *a: (fn(*a) * g).sum(), argnums=(0, 1, 2))
+
+    gx, gk, gb = loss(lambda x, k, b: conv3x3(x, k, b, 8, True))(x, k, bias)
+    rx, rk, rb = loss(shift_conv)(x, k, bias)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=2e-5)
+
+
+def test_pick_block_h_divides_and_fits():
+    for (h, w, cin, cout) in [(64, 64, 320, 320), (64, 64, 960, 320),
+                              (64, 64, 640, 640), (32, 32, 1280, 1280),
+                              (16, 16, 2560, 1280), (8, 8, 1280, 1280)]:
+        bh = pick_block_h(h, w, cin, cout)
+        if bh is None:
+            continue
+        assert h % bh == 0
+        need = ((bh + 2) * (w + 2) * cin * 2 + (bh + 2) * w * cin * 2
+                + 9 * cin * cout * 2 + 2 * bh * w * cout * 2
+                + bh * w * cout * 4)
+        assert need <= VMEM_BUDGET
+
+
+def test_pick_block_h_rejects_oversize():
+    # 512px VAE-scale site: no slab height fits the VMEM budget together
+    # with full weights at these channel counts
+    assert pick_block_h(512, 512, 512, 512) is None
