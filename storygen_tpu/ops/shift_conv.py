@@ -29,6 +29,8 @@ Dtype = Any
 # import) to force the native lax.conv path everywhere.
 import os
 ENABLED = os.environ.get("STORYGEN_SHIFT_CONV", "1") != "0"
+# Ablation escape hatch for the Pallas halo kernel specifically.
+HALO_ENABLED = os.environ.get("STORYGEN_HALO_CONV", "1") != "0"
 
 
 def _norm_padding(padding, kh: int, kw: int):
@@ -102,6 +104,34 @@ def _on_tpu() -> bool:
     return f()
 
 
+def halo_block_h(x_shape, kernel_size, padding, features: int,
+                 itemsize: int):
+    """Halo-kernel eligibility for a stride-1 conv site: the slab height
+    to use, or None to stay on shift-GEMM.
+
+    Encodes the measured dispatch table (scripts/bench_halo_conv.py):
+    the kernel wins at wide-spatial sites (h*w >= 64x64) except the
+    flop-dense 128px cin>=512 shapes, needs 3x3 SAME padding, a W the
+    sublane tiling accepts, and a slab that fits the VMEM budget.
+    """
+    b, h, w, cin = x_shape
+    kh, kw = kernel_size
+    if not (HALO_ENABLED and (kh, kw) == (3, 3) and w % 8 == 0):
+        return None
+    if padding != "SAME" and _norm_padding(padding, kh, kw) != ((1, 1),
+                                                                (1, 1)):
+        return None
+    hw = h * w
+    if hw < 64 * 64:
+        return None
+    # flop-dense mid-spatial band (128px, cin>=512): shift-GEMM already
+    # runs ~173 TF/s there and the kernel measured 0.92x
+    if 64 * 64 < hw <= 128 * 128 and cin >= 512:
+        return None
+    from storygen_tpu.ops.pallas_conv import pick_block_h
+    return pick_block_h(h, w, cin, features, itemsize)
+
+
 class SConv(nn.Module):
     """Drop-in nn.Conv with TPU shift-GEMM dispatch.
 
@@ -149,6 +179,19 @@ class SConv(nn.Module):
                 if cols_bytes <= 64 * 2 ** 20:
                     return im2col_conv(x, k, bc, (sh, sw), self.padding)
             else:
+                bh = halo_block_h(x.shape, (kh, kw), self.padding,
+                                  self.features, x.dtype.itemsize)
+                if bh is not None:
+                    # Wide-spatial sites: the VMEM halo kernel reads the
+                    # input once instead of 9 tap-reads — measured 1.1-1.6x
+                    # over shift-GEMM at every 64x64 UNet site and up to
+                    # 5.8x at the VAE decoder's 512px sites. Deeper/smaller
+                    # sites (32x32 UNet; 128px cin>=512 VAE) already run at
+                    # >=75% of roofline on shift-GEMM and lose ~5% to the
+                    # kernel, so they stay on the dot_general path
+                    # (measurements: scripts/bench_halo_conv.py).
+                    from storygen_tpu.ops.pallas_conv import conv3x3
+                    return conv3x3(x, k, bc, bh)
                 return shift_conv(x, k, bc, (sh, sw), self.padding)
         pad = self.padding
         if pad not in ("SAME", "VALID"):

@@ -1,0 +1,64 @@
+"""SConv halo-kernel dispatch predicate (ops/shift_conv.halo_block_h).
+
+The dispatch itself is TPU-gated; this pins the measured eligibility
+table from scripts/bench_halo_conv.py so a refactor cannot silently
+route a losing site to the kernel (or un-route a winning one). The
+model padding convention is the explicit ((1,1),(1,1)) tuple, not
+"SAME" — both must dispatch.
+"""
+import jax.numpy as jnp
+
+from storygen_tpu.ops.shift_conv import halo_block_h
+
+PAD = ((1, 1), (1, 1))
+
+
+def _bh(b, h, w, cin, cout, padding=PAD, k=(3, 3)):
+    return halo_block_h((b, h, w, cin), k, padding, cout, 2)
+
+
+def test_unet_l1_sites_dispatch():
+    # every 64x64 UNet site won on chip (1.08-1.63x)
+    for (cin, cout) in [(320, 320), (640, 320), (960, 320), (640, 640)]:
+        assert _bh(9, 64, 64, cin, cout) is not None
+        assert _bh(3, 64, 64, cin, cout) is not None
+
+
+def test_unet_l2plus_sites_stay_on_shift():
+    # 32x32 and deeper sites measured 0.92-0.97x — must NOT dispatch
+    for (h, cin, cout) in [(32, 640, 640), (32, 320, 640),
+                           (32, 1280, 640), (16, 1280, 1280),
+                           (8, 1280, 1280)]:
+        assert _bh(9, h, h, cin, cout) is None
+
+
+def test_vae_decoder_sites():
+    assert _bh(1, 512, 512, 128, 128) is not None     # 5.75x winner
+    assert _bh(1, 256, 256, 256, 256) is not None     # 1.94x winner
+    assert _bh(1, 128, 128, 512, 512) is None         # 0.92x loser
+
+
+def test_model_padding_tuple_and_same_both_dispatch():
+    assert _bh(9, 64, 64, 320, 320, padding=PAD) is not None
+    assert _bh(9, 64, 64, 320, 320, padding="SAME") is not None
+    assert _bh(9, 64, 64, 320, 320, padding="VALID") is None
+
+
+def test_non_3x3_never_dispatches():
+    assert _bh(9, 64, 64, 320, 320, k=(1, 1)) is None
+    assert _bh(9, 64, 64, 320, 320, k=(5, 5)) is None
+
+
+def test_sconv_on_cpu_unaffected():
+    # off-TPU SConv must keep producing nn.Conv semantics regardless of
+    # the predicate (the halo path is _on_tpu()-gated)
+    import numpy as np
+    from storygen_tpu.ops.shift_conv import SConv
+    import jax
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 8),
+                    jnp.float32)
+    m = SConv(features=8, kernel_size=(3, 3), padding=PAD)
+    p = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(p, x)
+    assert y.shape == (1, 64, 64, 8)
+    assert bool(jnp.isfinite(y).all())
