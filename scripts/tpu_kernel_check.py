@@ -133,6 +133,26 @@ def main():
     results["halo_conv_relerr"] = ce
     ok &= ce < TOL_FWD
 
+    # halo conv backward: dL/dx routes through halo_conv(g, k_flip) at
+    # this halo-eligible shape (fp32 grads, as in training)
+    xg = xc.astype(jnp.float32)
+    wg = wc.astype(jnp.float32)
+    bg = bc.astype(jnp.float32)
+    cot = jax.random.normal(kc[3], xg.shape, jnp.float32)
+
+    def _loss(fn):
+        return jax.grad(lambda *a: (fn(*a) * cot).sum(), argnums=(0, 1, 2))
+
+    gx, gw, gb2 = jax.jit(_loss(lambda x, w, b: conv3x3(x, w, b, 32)))(
+        xg, wg, bg)
+    rx, rw, rb2 = jax.jit(_loss(shift_conv))(xg, wg, bg)
+    cbe = max(
+        float(jnp.abs(gx - rx).max() / (jnp.abs(rx).max() + 1e-6)),
+        float(jnp.abs(gw - rw).max() / (jnp.abs(rw).max() + 1e-6)),
+        float(jnp.abs(gb2 - rb2).max() / (jnp.abs(rb2).max() + 1e-6)))
+    results["halo_conv_bwd_relerr"] = cbe
+    ok &= cbe < TOL_FWD
+
     print(json.dumps({"ok": bool(ok), "backend": backend,
                       "shape": [b, h, sq, skv, d], **results}))
     return 0 if ok else 1

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from storygen_tpu.ops.shift_conv import shift_conv
+from storygen_tpu.ops.shift_conv import halo_block_h, shift_conv
 
 # v5e VMEM is ~16 MB/core; leave headroom for Mosaic's own buffers.
 VMEM_BUDGET = 12 * 2 ** 20
@@ -151,11 +151,19 @@ def _conv3x3_fwd(x, kernel, bias, block_h, interpret):
 
 def _conv3x3_bwd(block_h, interpret, res, g):
     x, kernel = res
-    del block_h, interpret
+    del block_h
     # dL/dx: correlate g with the spatially flipped, io-transposed kernel
-    # (transpose-conv of a stride-1 SAME 3x3 is itself a SAME 3x3 conv).
-    k_flip = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
-    dx = shift_conv(g, k_flip.astype(g.dtype))
+    # (transpose-conv of a stride-1 SAME 3x3 is itself a SAME 3x3 conv) —
+    # i.e. the SAME wide-spatial shape the forward halo kernel won on, so
+    # reuse its dispatch predicate with cin/cout swapped (g is the input,
+    # x's channel count is the output width).
+    k_flip = (kernel[::-1, ::-1].transpose(0, 1, 3, 2)).astype(g.dtype)
+    bh_g = halo_block_h(g.shape, (3, 3), "SAME", x.shape[-1],
+                        g.dtype.itemsize)
+    if bh_g is not None:
+        dx = halo_conv(g, k_flip, block_h=bh_g, interpret=interpret)
+    else:
+        dx = shift_conv(g, k_flip)
     # dL/dw[t]: tap-slice(x_pad)^T . g — contraction over B*H*W.
     b, h, w, cin = x.shape
     cout = g.shape[-1]
