@@ -136,6 +136,114 @@ def halo_conv(x: jax.Array, kernel: jax.Array,
     )(xp, w9, b2)
 
 
+def _down_kernel(pee_ref, peo_ref, poe_ref, poo_ref, w_ref, b_ref, o_ref,
+                 slab, sem, *, bho: int, wo: int, cin: int, cout: int,
+                 wop: int):
+    """Stride-2 3x3 conv over four parity phases of the padded input.
+
+    Tap (dy, dx) reads phase (dy%2, dx%2) at row offset dy//2, col offset
+    dx//2 — every slice is a plain contiguous window (no strided VMEM
+    access). `slab` holds the four (bho+1, wop, cin) phase slabs."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    phases = (pee_ref, peo_ref, poe_ref, poo_ref)
+    for p in range(4):
+        dma = pltpu.make_async_copy(
+            phases[p].at[b, pl.ds(i * bho, bho + 1)],
+            slab.at[p], sem)
+        dma.start()
+        dma.wait()
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            src = slab[2 * (dy % 2) + (dx % 2)]
+            xs = src[dy // 2:dy // 2 + bho,
+                     dx // 2:dx // 2 + wo].reshape(bho * wo, cin)
+            y = jax.lax.dot_general(
+                xs, w_ref[3 * dy + dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    acc = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = acc.reshape(bho, wo, cout).astype(o_ref.dtype)
+
+
+def pick_down_block_h(ho: int, wo: int, cin: int, cout: int,
+                      itemsize: int = 2) -> Optional[int]:
+    """Output-row slab height for halo_downconv, or None (fall back)."""
+    wop = wo + 1 + (-(wo + 1)) % 8
+    cinp = cin + (-cin) % 128
+    for bho in (32, 16, 8):
+        if ho % bho:
+            continue
+        need = (4 * (bho + 1) * wop * cinp * itemsize    # phase slabs
+                + (bho + 1) * wo * cinp * itemsize       # live view
+                + 9 * cinp * cout * itemsize             # weights
+                + 2 * bho * wo * cout * itemsize         # out blocks
+                + bho * wo * cout * 4)                   # fp32 acc
+        if need <= VMEM_BUDGET:
+            return bho
+    return None
+
+
+def halo_downconv(x: jax.Array, kernel: jax.Array,
+                  bias: Optional[jax.Array] = None,
+                  padding="SAME",
+                  block_h: Optional[int] = None,
+                  interpret: bool = False) -> jax.Array:
+    """3x3 stride-2 conv, NHWC/HWIO, arbitrary explicit padding — the
+    strided sibling of halo_conv (forward only; the strided sites are
+    frozen-VAE/down blocks whose input grads route through SConv's
+    shift-GEMM transpose anyway).
+
+    The padded input is split into four (row, col) parity phases OUTSIDE
+    the kernel (one fused XLA slice pass), so tap (dy,dx) becomes a
+    contiguous window of phase (dy%2, dx%2) and the kernel never does a
+    strided VMEM access. HBM traffic: one read of x (phase split) + one
+    read of the phases + one output write, vs im2col's 2.25x patch
+    write + 2.25x read + read (measured 29% of bound at the UNet's
+    64x64 s2 site, BENCH.md round 3)."""
+    from storygen_tpu.ops.shift_conv import _norm_padding
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    assert (kh, kw) == (3, 3), "halo_downconv is specialized to 3x3"
+    (p0, p1), (q0, q1) = _norm_padding(padding, kh, kw)
+    ho = (h + p0 + p1 - 3) // 2 + 1
+    wo = (w + q0 + q1 - 3) // 2 + 1
+    bho = block_h or pick_down_block_h(ho, wo, cin, cout, x.dtype.itemsize)
+    assert bho is not None and ho % bho == 0, (ho, bho)
+    cinp = cin + (-cin) % 128
+    wop = wo + 1 + (-(wo + 1)) % 8
+    # pad so every phase is exactly (ho+1, wo+1) before sublane padding:
+    # max row index read is 2*(ho-1)+2 = 2*ho, col likewise
+    xp = jnp.pad(x, ((0, 0), (p0, 2 * ho + 2 - h - p0),
+                     (q0, 2 * wo + 2 - w - q0), (0, cinp - cin)))
+    phases = [xp[:, r::2, c::2][:, :ho + 1, :wo + 1]
+              for r in range(2) for c in range(2)]
+    phases = [jnp.pad(p, ((0, 0), (0, 0), (0, wop - wo - 1), (0, 0)))
+              for p in phases]
+    w9 = jnp.pad(kernel, ((0, 0), (0, 0), (0, cinp - cin), (0, 0))) \
+        .reshape(9, cinp, cout).astype(x.dtype)
+    b2 = (bias if bias is not None
+          else jnp.zeros((cout,), x.dtype)).reshape(1, cout)
+    return pl.pallas_call(
+        functools.partial(_down_kernel, bho=bho, wo=wo, cin=cinp,
+                          cout=cout, wop=wop),
+        grid=(b, ho // bho),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4 + [
+            pl.BlockSpec((9, cinp, cout), lambda bb, ii: (0, 0, 0)),
+            pl.BlockSpec((1, cout), lambda bb, ii: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bho, wo, cout),
+                               lambda bb, ii: (bb, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, bho + 1, wop, cinp), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(*phases, w9, b2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array,
             block_h: Optional[int] = None,

@@ -99,6 +99,43 @@ def test_pick_block_h_divides_and_fits():
         assert need <= VMEM_BUDGET
 
 
+@pytest.mark.parametrize("pad", [((1, 1), (1, 1)), ((0, 1), (0, 1))])
+@pytest.mark.parametrize("shape", [
+    (2, 16, 16, 24, 16, 8),   # multi-slab, multi-batch
+    (1, 32, 16, 8, 16, None), # tall, auto block, cout > cin
+])
+def test_halo_downconv_matches_lax_conv(pad, shape):
+    # both model conventions: symmetric (UNet Downsample2D, torch pad=1)
+    # and asymmetric (VAE encoder downsample, reference vae.py)
+    from storygen_tpu.ops.pallas_conv import halo_downconv
+    b, h, w, cin, cout, bho = shape
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+    y = halo_downconv(x, k, bias, padding=pad, block_h=bho, interpret=True)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bias
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
+def test_halo_downconv_bf16_io():
+    from storygen_tpu.ops.pallas_conv import halo_downconv
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 16, 16, 16), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, 16, 8) * 0.1, jnp.bfloat16)
+    y = halo_downconv(x, k, padding=((1, 1), (1, 1)), block_h=8,
+                      interpret=True)
+    ref = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), k.astype(jnp.float32), (2, 2),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref), atol=1e-1, rtol=2e-2)
+
+
 def test_pick_block_h_rejects_oversize():
     # 512px VAE-scale site: no slab height fits the VMEM budget together
     # with full weights at these channel counts
