@@ -28,16 +28,25 @@ import jax
 import jax.numpy as jnp
 
 from scripts.bench_conv import SITES, bench
-from storygen_tpu.ops.shift_conv import im2col_conv, shift_conv
+from storygen_tpu.ops.pallas_conv import (halo_conv, halo_downconv,
+                                          pick_down_block_h)
+from storygen_tpu.ops.shift_conv import (halo_block_h, im2col_conv,
+                                         shift_conv)
 
 PEAK_BF16 = 197e12   # v5e MXU bf16
 HBM_BW = 819e9       # v5e HBM
 
 
 def site_model(b, h, cin, cout, stride, formulation):
-    """(flops, min_bytes) for one 3x3 site."""
+    """(flops, min_bytes) for one 3x3 site.
+
+    flops charges what the formulation actually feeds the MXU: the halo
+    kernels pad Cin to a lane multiple (320->384 etc.), and those zero
+    lanes occupy real systolic cycles, so the halo bound uses the padded
+    depth — an honest ceiling, not a utopian one."""
     ho = wo = h // stride
     m = b * ho * wo
+    cinp = cin + (-cin) % 128
     flops = 2.0 * m * 9 * cin * cout
     in_bytes = b * h * h * cin * 2          # bf16 activations
     w_bytes = 9 * cin * cout * 2
@@ -47,10 +56,31 @@ def site_model(b, h, cin, cout, stride, formulation):
         # partial-sum adds fuse into dot epilogues (optimistic: no
         # accumulator HBM round-trips — that's what makes this a BOUND)
         bytes_ = 9 * in_bytes + w_bytes + out_bytes
+    elif formulation == "halo":
+        # one DMA'd slab read; partial sums live in VMEM
+        flops = 2.0 * m * 9 * cinp * cout
+        bytes_ = in_bytes + w_bytes + out_bytes
+    elif formulation == "halo_dn":
+        # phase split: read x, write phases, read phases in-kernel
+        flops = 2.0 * m * 9 * cinp * cout
+        bytes_ = 3 * in_bytes + w_bytes + out_bytes
     else:  # im2col: patches materialized once (write + read) then 1 GEMM
         patch_bytes = m * 9 * cin * 2
         bytes_ = in_bytes + 2 * patch_bytes + w_bytes + out_bytes
     return flops, bytes_
+
+
+def pick_formulation(b, h, cin, cout, stride):
+    """The formulation SConv actually dispatches for this site."""
+    if stride > 1:
+        if pick_down_block_h(h // 2, h // 2, cin, cout) is not None:
+            return "halo_dn", (lambda x, w: halo_downconv(
+                x, w, padding=((1, 1), (1, 1))))
+        return "im2col", (lambda x, w: im2col_conv(x, w, stride=stride))
+    bh = halo_block_h((b, h, h, cin), (3, 3), "SAME", cout, 2)
+    if bh is not None:
+        return "halo", (lambda x, w: halo_conv(x, w, block_h=bh))
+    return "shift9", (lambda x, w: shift_conv(x, w))
 
 
 def main():
@@ -58,9 +88,7 @@ def main():
     rows = []
     for (name, h, cin, cout, stride) in SITES:
         for b in (9,):  # ref(6)+main(3) rows — the sampler operating point
-            formulation = "im2col" if stride > 1 else "shift9"
-            op = (lambda x, w: im2col_conv(x, w, stride=stride)) \
-                if stride > 1 else (lambda x, w: shift_conv(x, w))
+            formulation, op = pick_formulation(b, h, cin, cout, stride)
             x = jax.random.normal(jax.random.PRNGKey(0), (b, h, h, cin),
                                   jnp.bfloat16)
             w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout),

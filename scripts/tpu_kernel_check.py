@@ -33,7 +33,12 @@ def main():
     from storygen_tpu.ops.attention import xla_attention
     from storygen_tpu.ops.pallas_attention import flash_attention
 
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except Exception as e:  # tunnel down: backend init raises UNAVAILABLE
+        print(json.dumps({"ok": False,
+                          "reason": f"no TPU (init failed: {e})"[:300]}))
+        return 2
     if backend not in ("tpu", "axon"):
         print(json.dumps({"ok": False, "reason": f"no TPU ({backend})"}))
         return 2
