@@ -178,3 +178,38 @@ def test_full_sampler_matches_torch(models):
             _nchw(noise), g_txt, g_img, stage="auto-regressive")
     np.testing.assert_allclose(np.asarray(out_j), _nhwc(lat),
                                rtol=5e-4, atol=5e-4)
+
+
+# ------------------------------------------------------------ VAE golden
+def test_vae_encode_decode_match_mirror():
+    """Composed VAE parity by execution: flax AutoencoderKL vs the plain-
+    torch mirror, driven by hf_export weights — covers the asymmetric
+    encoder downsample, mid-block single-head attention, and the
+    layers_per_block+1 decoder resnets, plus the VAE export key layout."""
+    from storygen_tpu.checkpoint.hf_import import VAE_REWRITES
+    from storygen_tpu.configs import VAEConfig
+    from storygen_tpu.models.vae import AutoencoderKL
+
+    cfg = VAEConfig(block_out_channels=(8, 12, 16, 16), layers_per_block=1,
+                    norm_num_groups=2)
+    vae = AutoencoderKL(config=cfg)
+    rng = jax.random.PRNGKey(7)
+    params = jax.jit(vae.init)(rng, jnp.zeros((1, 32, 32, 3)), rng)
+    sd = M.to_tensors(
+        flax_to_torch_state_dict(params, key_rewrites=VAE_REWRITES))
+
+    x = _rand(11, (2, 32, 32, 3), 0.7)
+    dist = jax.jit(lambda p, x: vae.apply(p, x, method=AutoencoderKL.encode)
+                   )(params, x)
+    mean_t, logvar_t = M.vae_encode(sd, cfg, _nchw(x))
+    np.testing.assert_allclose(np.asarray(dist.mean), _nhwc(mean_t),
+                               atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(dist.logvar), _nhwc(logvar_t),
+                               atol=ATOL, rtol=RTOL)
+
+    z = _rand(12, (2, 4, 4, cfg.latent_channels), 0.9)
+    img = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode)
+                  )(params, z)
+    img_t = M.vae_decode(sd, cfg, _nchw(z))
+    np.testing.assert_allclose(np.asarray(img), _nhwc(img_t),
+                               atol=ATOL, rtol=RTOL)

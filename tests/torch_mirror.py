@@ -321,3 +321,81 @@ def storygen_step(sd: Tensors, cfg, sched: DDIMMirror, latents, t, prev_t,
     eps = (e_u + image_guidance_scale * (e_i - e_u)
            + guidance_scale * (e_a - e_i))
     return sched.step(eps, int(t), int(prev_t), latents)
+
+
+# ------------------------------------------------------------ VAE mirror
+def _vae_resnet(x, sd, p, groups):
+    """diffusers ResnetBlock2D as AutoencoderKL instantiates it: GN eps
+    1e-6, SiLU, no time embedding (reference loads diffusers
+    AutoencoderKL, /root/reference/model/pipeline.py:16; architecture per
+    ckpt/stable-diffusion-v1-5/vae/config.json)."""
+    h = _conv(F.silu(_gn(x, sd, p + ".norm1", groups, 1e-6)),
+              sd, p + ".conv1")
+    h = _conv(F.silu(_gn(h, sd, p + ".norm2", groups, 1e-6)),
+              sd, p + ".conv2")
+    if p + ".conv_shortcut.weight" in sd:
+        x = F.conv2d(x, sd[p + ".conv_shortcut.weight"],
+                     sd[p + ".conv_shortcut.bias"])
+    return x + h
+
+
+def _vae_attention(x, sd, p, groups):
+    """diffusers AttentionBlock: single-head spatial self-attention with
+    query/key/value/proj_attn linears over GN'd tokens, residual add."""
+    b, c, h, w = x.shape
+    y = _gn(x, sd, p + ".group_norm", groups, 1e-6)
+    y = y.reshape(b, c, h * w).transpose(1, 2)
+    q = _linear(y, sd, p + ".query")
+    k = _linear(y, sd, p + ".key")
+    v = _linear(y, sd, p + ".value")
+    probs = torch.softmax(q @ k.transpose(1, 2) * c ** -0.5, dim=-1)
+    y = _linear(probs @ v, sd, p + ".proj_attn")
+    return y.transpose(1, 2).reshape(b, c, h, w) + x
+
+
+def vae_encode(sd: Tensors, cfg, x: torch.Tensor):
+    """Encoder + quant_conv -> (mean, clamped logvar), NCHW.
+
+    Downsample is the reference's asymmetric form: F.pad (0,1,0,1) then
+    stride-2 VALID conv (diffusers Downsample2D with padding=0)."""
+    g = cfg.norm_num_groups
+    h = _conv(x, sd, "encoder.conv_in")
+    n = len(cfg.block_out_channels)
+    for i in range(n):
+        p = f"encoder.down_blocks.{i}"
+        for j in range(cfg.layers_per_block):
+            h = _vae_resnet(h, sd, f"{p}.resnets.{j}", g)
+        if i < n - 1:
+            h = F.pad(h, (0, 1, 0, 1))
+            h = _conv(h, sd, f"{p}.downsamplers.0.conv", stride=2,
+                      padding=0)
+    h = _vae_resnet(h, sd, "encoder.mid_block.resnets.0", g)
+    h = _vae_attention(h, sd, "encoder.mid_block.attentions.0", g)
+    h = _vae_resnet(h, sd, "encoder.mid_block.resnets.1", g)
+    h = F.silu(_gn(h, sd, "encoder.conv_norm_out", g, 1e-6))
+    h = _conv(h, sd, "encoder.conv_out")
+    moments = F.conv2d(h, sd["quant_conv.weight"], sd["quant_conv.bias"])
+    mean, logvar = moments.chunk(2, dim=1)
+    return mean, torch.clamp(logvar, -30.0, 20.0)
+
+
+def vae_decode(sd: Tensors, cfg, z: torch.Tensor) -> torch.Tensor:
+    """post_quant_conv + decoder -> image, NCHW. Upsample is nearest-2x
+    followed by a 3x3 conv (diffusers Upsample2D)."""
+    g = cfg.norm_num_groups
+    h = F.conv2d(z, sd["post_quant_conv.weight"],
+                 sd["post_quant_conv.bias"])
+    h = _conv(h, sd, "decoder.conv_in")
+    h = _vae_resnet(h, sd, "decoder.mid_block.resnets.0", g)
+    h = _vae_attention(h, sd, "decoder.mid_block.attentions.0", g)
+    h = _vae_resnet(h, sd, "decoder.mid_block.resnets.1", g)
+    n = len(cfg.block_out_channels)
+    for i in range(n):
+        p = f"decoder.up_blocks.{i}"
+        for j in range(cfg.layers_per_block + 1):
+            h = _vae_resnet(h, sd, f"{p}.resnets.{j}", g)
+        if i < n - 1:
+            h = F.interpolate(h, scale_factor=2.0, mode="nearest")
+            h = _conv(h, sd, f"{p}.upsamplers.0.conv")
+    h = F.silu(_gn(h, sd, "decoder.conv_norm_out", g, 1e-6))
+    return _conv(h, sd, "decoder.conv_out")
