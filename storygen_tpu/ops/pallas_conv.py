@@ -191,9 +191,9 @@ def halo_downconv(x: jax.Array, kernel: jax.Array,
                   block_h: Optional[int] = None,
                   interpret: bool = False) -> jax.Array:
     """3x3 stride-2 conv, NHWC/HWIO, arbitrary explicit padding — the
-    strided sibling of halo_conv (forward only; the strided sites are
-    frozen-VAE/down blocks whose input grads route through SConv's
-    shift-GEMM transpose anyway).
+    strided sibling of halo_conv. Forward-only; use downconv3x3 where
+    gradients must flow (UNet downsamplers sit on the backprop path to
+    upstream trainable params even when frozen themselves).
 
     The padded input is split into four (row, col) parity phases OUTSIDE
     the kernel (one fused XLA slice pass), so tap (dy,dx) becomes a
@@ -242,6 +242,38 @@ def halo_downconv(x: jax.Array, kernel: jax.Array,
         ],
         interpret=interpret,
     )(*phases, w9, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def downconv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                padding=((1, 1), (1, 1)),
+                block_h: Optional[int] = None,
+                interpret: bool = False) -> jax.Array:
+    """Differentiable halo_downconv (3x3 stride-2, NHWC/HWIO)."""
+    return halo_downconv(x, kernel, bias, padding=padding,
+                         block_h=block_h, interpret=interpret)
+
+
+def _downconv3x3_fwd(x, kernel, bias, padding, block_h, interpret):
+    return (halo_downconv(x, kernel, bias, padding=padding,
+                          block_h=block_h, interpret=interpret),
+            (x, kernel, bias))
+
+
+def _downconv3x3_bwd(padding, block_h, interpret, res, g):
+    # Backward via the linearization of the equivalent (exact) strided
+    # shift-GEMM formulation: for a linear-in-inputs op the VJP never
+    # evaluates the primal, and XLA DCEs the unused forward, so this
+    # costs exactly the transpose-conv + 9 strided tap dot_generals.
+    del block_h, interpret
+    x, kernel, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, kk, bb: shift_conv(xx, kk, bb, stride=2,
+                                      padding=padding), x, kernel, bias)
+    return vjp(g)
+
+
+downconv3x3.defvjp(_downconv3x3_fwd, _downconv3x3_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -136,6 +136,28 @@ def test_halo_downconv_bf16_io():
                                np.asarray(ref), atol=1e-1, rtol=2e-2)
 
 
+@pytest.mark.parametrize("pad", [((1, 1), (1, 1)), ((0, 1), (0, 1))])
+def test_downconv3x3_grads_match_shift_conv(pad):
+    from storygen_tpu.ops.pallas_conv import downconv3x3
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 16, 16, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 8, 8) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+    ho = (16 + pad[0][0] + pad[0][1] - 3) // 2 + 1
+    g = jnp.asarray(rng.randn(1, ho, ho, 8), jnp.float32)
+
+    def grads(fn):
+        return jax.grad(lambda *a: (fn(*a) * g).sum(), argnums=(0, 1, 2))
+
+    gx, gk, gb = grads(lambda x, k, b: downconv3x3(x, k, b, pad, 8, True))(
+        x, k, bias)
+    rx, rk, rb = grads(lambda x, k, b: shift_conv(x, k, b, stride=2,
+                                                  padding=pad))(x, k, bias)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=2e-5)
+
+
 def test_pick_block_h_rejects_oversize():
     # 512px VAE-scale site: no slab height fits the VMEM budget together
     # with full weights at these channel counts
