@@ -28,10 +28,9 @@ import jax
 import jax.numpy as jnp
 
 from scripts.bench_conv import SITES, bench
-from storygen_tpu.ops.pallas_conv import (halo_conv, halo_downconv,
-                                          pick_down_block_h)
-from storygen_tpu.ops.shift_conv import (halo_block_h, im2col_conv,
-                                         shift_conv)
+from storygen_tpu.ops.pallas_conv import halo_conv, halo_downconv
+from storygen_tpu.ops.shift_conv import (down_halo_block_h, halo_block_h,
+                                         im2col_conv, shift_conv)
 
 PEAK_BF16 = 197e12   # v5e MXU bf16
 HBM_BW = 819e9       # v5e HBM
@@ -73,9 +72,11 @@ def site_model(b, h, cin, cout, stride, formulation):
 def pick_formulation(b, h, cin, cout, stride):
     """The formulation SConv actually dispatches for this site."""
     if stride > 1:
-        if pick_down_block_h(h // 2, h // 2, cin, cout) is not None:
+        dn = down_halo_block_h((b, h, h, cin), (3, 3), (2, 2),
+                               ((1, 1), (1, 1)), cout, 2)
+        if dn is not None:
             return "halo_dn", (lambda x, w: halo_downconv(
-                x, w, padding=((1, 1), (1, 1))))
+                x, w, padding=((1, 1), (1, 1)), block_h=dn[0]))
         return "im2col", (lambda x, w: im2col_conv(x, w, stride=stride))
     bh = halo_block_h((b, h, h, cin), (3, 3), "SAME", cout, 2)
     if bh is not None:

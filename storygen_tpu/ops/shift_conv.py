@@ -132,6 +132,33 @@ def halo_block_h(x_shape, kernel_size, padding, features: int,
     return pick_block_h(h, w, cin, features, itemsize)
 
 
+def down_halo_block_h(x_shape, kernel_size, strides, padding,
+                      features: int, itemsize: int):
+    """halo_downconv eligibility for a stride-2 site: (block_h, padding)
+    or None to stay on im2col/shift-GEMM.
+
+    Initial rule mirrors the measured stride-1 table (wide-spatial wins,
+    flop-dense narrow-output cin>=512 band stays put): output >= 32x32
+    positions, excluding outputs <= 64x64 with cin >= 512. Refine with
+    scripts/bench_down_conv.py measurements per site.
+    """
+    b, h, w, cin = x_shape
+    if not (HALO_ENABLED and kernel_size == (3, 3)
+            and tuple(strides) == (2, 2)):
+        return None
+    pad = _norm_padding(padding, 3, 3)
+    (p0, p1), (q0, q1) = pad
+    ho = (h + p0 + p1 - 3) // 2 + 1
+    wo = (w + q0 + q1 - 3) // 2 + 1
+    if ho * wo < 32 * 32:
+        return None
+    if ho * wo <= 64 * 64 and cin >= 512:
+        return None
+    from storygen_tpu.ops.pallas_conv import pick_down_block_h
+    bho = pick_down_block_h(ho, wo, cin, features, itemsize)
+    return None if bho is None else (bho, pad)
+
+
 class SConv(nn.Module):
     """Drop-in nn.Conv with TPU shift-GEMM dispatch.
 
@@ -169,6 +196,17 @@ class SConv(nn.Module):
                     preferred_element_type=jnp.float32)
                 return (y + bc.astype(jnp.float32)).astype(self.dtype)
             if sh > 1 or sw > 1:
+                dn = down_halo_block_h(x.shape, (kh, kw), (sh, sw),
+                                       self.padding, self.features,
+                                       x.dtype.itemsize)
+                if dn is not None:
+                    # Wide-spatial stride-2 sites: phase-split halo
+                    # kernel (one input read vs im2col's patch
+                    # write+read; that path measured 29% of bound at the
+                    # 64x64 UNet downsample, scripts/roofline_conv.py).
+                    from storygen_tpu.ops.pallas_conv import downconv3x3
+                    bho, pad = dn
+                    return downconv3x3(x, k, bc, pad, bho)
                 # im2col materializes a (B, Ho, Wo, Kh*Kw*Cin) patch
                 # tensor; it wins at the UNet's small-spatial strided
                 # sites but the extra HBM pass loses once that tensor is

@@ -49,6 +49,27 @@ def test_non_3x3_never_dispatches():
     assert _bh(9, 64, 64, 320, 320, k=(5, 5)) is None
 
 
+def test_strided_dispatch_table():
+    from storygen_tpu.ops.shift_conv import down_halo_block_h
+    dn = lambda b, h, cin, cout, pad: down_halo_block_h(
+        (b, h, h, cin), (3, 3), (2, 2), pad, cout, 2)
+    # UNet L1 downsample (symmetric pad) dispatches; L2/L3 stay put
+    assert dn(9, 64, 320, 320, PAD) is not None
+    assert dn(9, 32, 640, 640, PAD) is None
+    assert dn(9, 16, 1280, 1280, PAD) is None
+    # VAE encoder sites arrive pre-padded (h+1, VALID): 512/256px
+    # dispatch, the flop-dense 128px cin>=512 band stays on im2col
+    VALID = ((0, 0), (0, 0))
+    assert dn(1, 513, 128, 128, VALID) is not None
+    assert dn(1, 257, 256, 256, VALID) is not None
+    assert dn(1, 129, 512, 512, VALID) is None
+    # stride-1 and non-3x3 never take the strided path
+    assert down_halo_block_h((9, 64, 64, 320), (3, 3), (1, 1), PAD,
+                             320, 2) is None
+    assert down_halo_block_h((9, 64, 64, 320), (1, 1), (2, 2), PAD,
+                             320, 2) is None
+
+
 def test_sconv_on_cpu_unaffected():
     # off-TPU SConv must keep producing nn.Conv semantics regardless of
     # the predicate (the halo path is _on_tpu()-gated)
