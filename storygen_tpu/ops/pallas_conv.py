@@ -147,12 +147,13 @@ def _down_kernel(pee_ref, peo_ref, poe_ref, poo_ref, w_ref, b_ref, o_ref,
     b = pl.program_id(0)
     i = pl.program_id(1)
     phases = (pee_ref, peo_ref, poe_ref, poo_ref)
-    for p in range(4):
-        dma = pltpu.make_async_copy(
-            phases[p].at[b, pl.ds(i * bho, bho + 1)],
-            slab.at[p], sem)
-        dma.start()
-        dma.wait()
+    dmas = [pltpu.make_async_copy(
+        phases[p].at[b, pl.ds(i * bho, bho + 1)], slab.at[p], sem)
+        for p in range(4)]
+    for d in dmas:          # issue all four, then barrier: the copies
+        d.start()           # overlap instead of serializing start/wait
+    for d in dmas:
+        d.wait()
     acc = None
     for dy in range(3):
         for dx in range(3):
