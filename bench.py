@@ -112,9 +112,19 @@ def main():
     lat_list = [jax.random.normal(k, (b, hw, hw, 4), jnp.float32)
                 for k in iter_keys]
 
-    # warmup / compile
-    _, m = run(params, lat_list[-1], jnp.float32(0.0), noise)
-    jax.device_get(m)
+    # warmup / compile. If the warmup dies (e.g. a Pallas kernel the chip's
+    # Mosaic rejects even though interpret-mode tests pass), re-exec once
+    # without the halo conv kernels rather than losing the headline run.
+    try:
+        _, m = run(params, lat_list[-1], jnp.float32(0.0), noise)
+        jax.device_get(m)
+    except Exception as e:
+        if os.environ.get("STORYGEN_HALO_CONV", "1") != "0":
+            print(f"# warmup failed ({type(e).__name__}: {e}); retrying "
+                  f"with STORYGEN_HALO_CONV=0", file=sys.stderr)
+            os.environ["STORYGEN_HALO_CONV"] = "0"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
 
     t0 = time.perf_counter()
     for i in range(n_iters):
