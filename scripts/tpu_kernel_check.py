@@ -158,6 +158,26 @@ def main():
     results["halo_conv_bwd_relerr"] = cbe
     ok &= cbe < TOL_FWD
 
+    # stride-2 phase-split halo kernel, both model padding conventions
+    from storygen_tpu.ops.pallas_conv import halo_downconv
+    for tag, pad, (hh, cc) in (
+            ("halo_down_sym_relerr", ((1, 1), (1, 1)), (64, 320)),
+            ("halo_down_asym_relerr", ((0, 1), (0, 1)), (128, 128))):
+        kd = jax.random.split(jax.random.PRNGKey(7), 3)
+        xd = jax.random.normal(kd[0], (2, hh, hh, cc), jnp.bfloat16)
+        wd = jax.random.normal(kd[1], (3, 3, cc, cc), jnp.bfloat16) * 0.03
+        bd = jax.random.normal(kd[2], (cc,), jnp.bfloat16) * 0.1
+        got_d = jax.jit(lambda x, w, b: halo_downconv(
+            x, w, b, padding=pad))(xd, wd, bd).astype(jnp.float32)
+        want_d = jax.lax.conv_general_dilated(
+            xd.astype(jnp.float32), wd.astype(jnp.float32), (2, 2), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bd.astype(jnp.float32)
+        de = float(jnp.abs(got_d - want_d).max()
+                   / (jnp.abs(want_d).max() + 1e-6))
+        results[tag] = de
+        ok &= de < TOL_FWD
+
     print(json.dumps({"ok": bool(ok), "backend": backend,
                       "shape": [b, h, sq, skv, d], **results}))
     return 0 if ok else 1

@@ -30,7 +30,7 @@ Differentiable: custom VJP with a q-chunked lax.scan recompute backward —
 peak live logits (B, H, 512, Skv) instead of (B, H, Sq, Skv).
 
 Forward variants (round-2 MFU work; on-chip ablation in
-scripts/bench_attn_ablate.py):
+scripts/studies/bench_attn_ablate.py):
 
 - "grid" — the original kernel: (BQ, BK) logits, online softmax with
   running (max, sum) scratch carried across kv grid steps.
@@ -127,7 +127,7 @@ def _bnd2_kernel(bound_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
     sublane-replicated (1, 1, 8, BQ) row (no q/k/v column concats on the
     host) and the softmax row sum is an in-kernel sublane reduce. Faster
     than the ones-column form when num_kv_blocks >= 2 (measured in
-    scripts/bench_attn_bnd2.py) and cuts ~5 host ops per call."""
+    scripts/studies/bench_attn_bnd2.py) and cuts ~5 host ops per call."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -264,8 +264,8 @@ def _pick_block(size: int, preferred: int) -> Optional[int]:
 
 def _choose_blocks(sq: int, skv: int, block_q: int, block_k: int,
                    variant: str = "grid"):
-    """v5e sweeps (scripts/profile_unet.py, bench_attn_v2.py,
-    bench_attn_ablate.py): bk=1024 everywhere. grid kernel: bq=1024 wins
+    """v5e sweeps (scripts/profile_unet.py, studies/bench_attn_v2.py,
+    studies/bench_attn_ablate.py): bk=1024 everywhere. grid kernel: bq=1024 wins
     at sq>=4096, bq=512 at sq=1024. Transposed kernels (bnd/online_t):
     bq=1024 wins at every measured shape (attn3 L1 3.97 ms at
     bq1024/bk1024 vs 4.39 at bq512/bk1024). Callers' explicit larger

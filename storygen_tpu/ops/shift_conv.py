@@ -1,6 +1,6 @@
 """Shift-GEMM convolution: exact 2-D conv as K_h*K_w shifted matmuls.
 
-Motivation (scripts/bench_conv.py / bench_conv_variants.py, v5e, bf16):
+Motivation (scripts/bench_conv.py / studies/bench_conv_variants.py, v5e, bf16):
 XLA's native implicit-GEMM convs run the SD-UNet's 3x3 sites at 84-156
 TF/s (43-79% of the 197 TF/s peak), while the SAME contraction expressed
 as plain dot_generals reaches 150-190 TF/s. Reformulating
@@ -140,7 +140,7 @@ def down_halo_block_h(x_shape, kernel_size, strides, padding,
     Initial rule mirrors the measured stride-1 table (wide-spatial wins,
     flop-dense narrow-output cin>=512 band stays put): output >= 32x32
     positions, excluding outputs <= 64x64 with cin >= 512. Refine with
-    scripts/bench_down_conv.py measurements per site.
+    scripts/studies/bench_down_conv.py measurements per site.
     """
     b, h, w, cin = x_shape
     if not (HALO_ENABLED and kernel_size == (3, 3)
