@@ -57,12 +57,20 @@ def main():
     zero = jax.random.normal(ks[4], (b, hw, hw, 4), jnp.float32) * 0.01
     noise = jax.random.normal(ks[7], (b, hw, hw, 4), jnp.float32)
 
+    # --reuse-latents / STORY_REUSE_LATENTS=1: feed each frame's final
+    # latents forward instead of decode->re-encode
+    # (pipeline.generate_story(reuse_latents=True) — speed knob, not
+    # reference parity). Skips n_refs VAE encodes per frame.
+    reuse = ("--reuse-latents" in sys.argv
+             or os.environ.get("STORY_REUSE_LATENTS", "0") == "1")
+
     def make_frame_fn(n_refs: int):
         @jax.jit
         def frame(params, lat0, salt, text_c, prev_u, prev_c, hist):
-            # hist: (n_refs, B, px, px, 3) pixels in [0,1] from previous
-            # frames — encoded in-program (the story's decode->encode
-            # feedback happens entirely on device)
+            # hist: previous frames as (n_refs, B, px, px, 3) pixels in
+            # [0,1] (encoded in-program: the story's decode->encode
+            # feedback happens entirely on device), or as
+            # (n_refs, B, hw, hw, 4) scaled latents in reuse mode
             lat0 = lat0 + salt.astype(jnp.float32) * 1e-6
             if n_refs == 0:
                 lat = sampler.sample(
@@ -70,7 +78,7 @@ def main():
                     noise, jnp.asarray(7.0), jnp.asarray(3.5),
                     stage="no", num_inference_steps=steps)
             else:
-                refs = sampler.encode_ref_latents(
+                refs = hist if reuse else sampler.encode_ref_latents(
                     params["vae"], hist, jax.random.PRNGKey(1))
                 lat = sampler.sample(
                     params, lat0, text_u, text_c, refs, zero,
@@ -78,7 +86,7 @@ def main():
                     jnp.asarray(3.5), stage="auto-regressive",
                     num_inference_steps=steps)
             img = sampler.decode(params["vae"], lat)   # (B, px, px, 3)
-            return img, img.mean()
+            return img, lat, img.mean()
         return frame
 
     frame_fns = [make_frame_fn(n) for n in range(4)]
@@ -93,15 +101,16 @@ def main():
         for fi in range(4):
             n = min(fi, 3)
             if n:
-                h = jnp.stack(hist[-n:])                     # (n,B,px,px,3)
+                h = jnp.stack(hist[-n:])       # (n,B,px,px,3) | (n,B,hw,hw,4)
                 pu = jnp.stack([text_u] * n)
                 pc = jnp.stack(text_cs[:n])
             else:
-                h = jnp.zeros((1, b, px, px, 3), jnp.float32)
+                h = (jnp.zeros((1, b, hw, hw, 4), jnp.float32) if reuse
+                     else jnp.zeros((1, b, px, px, 3), jnp.float32))
                 pu = pc = jnp.zeros((1, b, 77, 768), jnp.float32)
-            img, salt = frame_fns[n](params, lat0s[fi], salt,
-                                     text_cs[fi], pu, pc, h)
-            hist.append(img)
+            img, lat, salt = frame_fns[n](params, lat0s[fi], salt,
+                                          text_cs[fi], pu, pc, h)
+            hist.append(lat if reuse else img)
         return salt
 
     # warmup / compile all four programs
@@ -121,7 +130,8 @@ def main():
     times.sort()
     p50 = times[len(times) // 2]
     print(json.dumps({
-        "metric": "story_p50_latency_4frame_512px_ddim50",
+        "metric": "story_p50_latency_4frame_512px_ddim50"
+                  + ("_reuse_latents" if reuse else ""),
         "value": round(p50, 3),
         "unit": "s/story",
         "all_times": [round(t, 3) for t in times],

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--ref_feature_interval", type=int, default=1,
                     help="recompute VLCM ref features every k-th step "
                          "(1=exact; 2 ~1.45x faster, minor drift)")
+    ap.add_argument("--reuse_latents", action="store_true",
+                    help="story rollout: condition on previous frames' "
+                         "final latents instead of decode->re-encode "
+                         "(speed knob, not reference parity)")
     ap.add_argument("--normalize_refs", action="store_true",
                     help="feed story-rollout history refs in [-1,1] "
                          "instead of the reference-checkpoint [0,1] quirk")
@@ -98,7 +102,8 @@ def main():
             image_guidance_scale=args.image_guidance_scale,
             sampler=args.sampler, eta=args.eta,
             ref_feature_interval=args.ref_feature_interval,
-            normalize_refs=args.normalize_refs)
+            normalize_refs=args.normalize_refs,
+            reuse_latents=args.reuse_latents)
         for i, f in enumerate(frames):
             Image.fromarray((f * 255).astype(np.uint8)).save(
                 os.path.join(args.logdir, f"story_frame{i}.png"))

@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOWED_KEYS = {
     "prompts", "num_inference_steps", "height", "width", "guidance_scale",
     "image_guidance_scale", "sampler", "seed", "max_refs", "normalize_refs",
+    "reuse_latents",
 }
 
 
@@ -79,6 +80,8 @@ class StoryService:
             gen_kw["max_refs"] = int(req["max_refs"])
         if "normalize_refs" in req:
             gen_kw["normalize_refs"] = bool(req["normalize_refs"])
+        if "reuse_latents" in req:
+            gen_kw["reuse_latents"] = bool(req["reuse_latents"])
 
         t0 = time.perf_counter()
         with self._lock:

@@ -418,6 +418,42 @@ class StoryGenPipeline:
             [i*n, (i+1)*n) of the output.
         Returns (B * num_images_per_prompt, H, W, 3) floats in [0, 1].
         """
+        images, _ = self._generate(
+            stage, prompt, image_prompt=image_prompt,
+            prev_prompt=prev_prompt, height=height, width=width,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            image_guidance_scale=image_guidance_scale,
+            negative_prompt=negative_prompt, rng=rng, latents=latents,
+            sampler=sampler, eta=eta,
+            ref_feature_interval=ref_feature_interval,
+            num_images_per_prompt=num_images_per_prompt)
+        return images
+
+    def _generate(self, stage: str, prompt: Sequence[str],
+                  image_prompt: Optional[np.ndarray] = None,
+                  prev_prompt: Optional[Sequence[Sequence[str]]] = None,
+                  height: int = 512, width: int = 512,
+                  num_inference_steps: int = 50,
+                  guidance_scale: float = 7.5,
+                  image_guidance_scale: float = 3.5,
+                  negative_prompt: Optional[Sequence[str]] = None,
+                  rng: Optional[jax.Array] = None,
+                  latents: Optional[jax.Array] = None,
+                  sampler: str = "ddim",
+                  eta: float = 0.0,
+                  ref_feature_interval: int = 1,
+                  num_images_per_prompt: int = 1,
+                  ref_latents: Optional[jax.Array] = None):
+        """__call__'s engine; returns (images, final_latents).
+
+        `ref_latents`: optional (N, B, H/8, W/8, 4) pre-encoded,
+        0.18215-scaled reference latents. When given, the VAE encode of
+        `image_prompt` is skipped and `image_prompt` may be None
+        (generate_story(reuse_latents=True) feeds each frame's final
+        latents straight back in — the returned final latents are in the
+        same scaled convention).
+        """
         if stage not in STAGES:
             raise ValueError(f"stage must be one of {STAGES}")
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -442,14 +478,21 @@ class StoryGenPipeline:
         text_uncond = dup(self.encode_prompt(uncond))
 
         use_refs = stage in ("multi-image-condition", "auto-regressive")
-        ref_latents = zero_latents = prev_u = prev_c = None
-        if use_refs:
-            if image_prompt is None or prev_prompt is None:
-                raise ValueError(f"stage {stage} needs image_prompt and "
-                                 "prev_prompt")
-            imgs = jnp.asarray(image_prompt, dtype=jnp.float32)
-            ref_latents = dup(self.sampler.encode_ref_latents(
-                self.params["vae"], imgs, k_ref), axis=1)
+        zero_latents = prev_u = prev_c = None
+        if not use_refs:
+            ref_latents = None
+        else:
+            if prev_prompt is None or (image_prompt is None
+                                       and ref_latents is None):
+                raise ValueError(f"stage {stage} needs prev_prompt and "
+                                 "image_prompt (or ref_latents)")
+            if ref_latents is not None:
+                ref_latents = dup(jnp.asarray(ref_latents, jnp.float32),
+                                  axis=1)
+            else:
+                imgs = jnp.asarray(image_prompt, dtype=jnp.float32)
+                ref_latents = dup(self.sampler.encode_ref_latents(
+                    self.params["vae"], imgs, k_ref), axis=1)
             zero_img = jnp.zeros((b, height, width, 3), jnp.float32)
             zdist = self.vae.apply(self.vae_params, zero_img,
                                    method=self.vae.encode)
@@ -473,12 +516,13 @@ class StoryGenPipeline:
             ref_feature_interval=int(ref_feature_interval))
 
         images = self.sampler.decode(self.params["vae"], final)
-        return np.asarray(images)
+        return np.asarray(images), final
 
     def generate_story(self, prompts: Sequence[str],
                        first_frame: Optional[np.ndarray] = None,
                        first_caption: Optional[str] = None,
                        max_refs: int = 3, normalize_refs: bool = False,
+                       reuse_latents: bool = False,
                        **kw) -> List[np.ndarray]:
         """Autoregressive story rollout: generate frame k conditioned on up
         to `max_refs` previous frames and their captions (the paper's usage
@@ -495,8 +539,19 @@ class StoryGenPipeline:
             its checkpoints saw [0, 1] refs in training AND inference).
             True rescales to [-1, 1] for checkpoints trained on
             `normalize_refs=True` data (data/datasets.py).
+          reuse_latents: True conditions frame k+1 on frame k's FINAL
+            LATENTS instead of decode->re-encode'ing its pixels. Skips
+            one VAE encode per history ref (~3/frame). Deviation from
+            the reference protocol: refs skip the VAE roundtrip (the
+            roundtrip acts as a mild denoiser), so conditioning features
+            drift slightly from a decode/re-encode chain — an opt-in
+            speed knob, not reference parity.
         Returns the generated frames, each (H, W, 3) in [0, 1].
         """
+        if reuse_latents:
+            return self._generate_story_latents(
+                prompts, first_frame, first_caption, max_refs,
+                normalize_refs, **kw)
         history: List[Tuple[np.ndarray, str]] = []
         if first_frame is not None:
             history.append((np.asarray(first_frame),
@@ -515,6 +570,38 @@ class StoryGenPipeline:
                            prev_prompt=[[c] for _, c in hist], **kw)
             frames.append(img[0])
             history.append((img[0], prompt))
+        return frames
+
+    def _generate_story_latents(self, prompts, first_frame, first_caption,
+                                max_refs, normalize_refs,
+                                **kw) -> List[np.ndarray]:
+        """generate_story(reuse_latents=True): the history is kept as
+        scaled latents and fed back via _generate(ref_latents=...)."""
+        history: List[Tuple[jax.Array, str]] = []
+        if first_frame is not None:
+            frame = np.asarray(first_frame, dtype=np.float32)
+            if normalize_refs:
+                frame = frame * 2.0 - 1.0
+            enc_rng = jax.random.fold_in(
+                kw.get("rng") if kw.get("rng") is not None
+                else jax.random.PRNGKey(0), 7)
+            lat0 = self.sampler.encode_ref_latents(
+                self.params["vae"], jnp.asarray(frame)[None, None],
+                enc_rng)[0, 0]
+            history.append((lat0, first_caption or prompts[0]))
+        frames: List[np.ndarray] = []
+        for prompt in prompts:
+            if not history:
+                img, fin = self._generate(stage="no", prompt=[prompt], **kw)
+            else:
+                hist = history[-max_refs:]
+                refs = jnp.stack([l for l, _ in hist])[:, None]
+                img, fin = self._generate(
+                    stage="auto-regressive", prompt=[prompt],
+                    ref_latents=refs,
+                    prev_prompt=[[c] for _, c in hist], **kw)
+            frames.append(img[0])
+            history.append((fin[0], prompt))
         return frames
 
 

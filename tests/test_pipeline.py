@@ -417,3 +417,28 @@ def test_unknown_sampler_raises(setup):
         sampler.sample(params, lat, _text(b, 1), _text(b, 2), None, None,
                        None, None, lat, jnp.asarray(7.0), jnp.asarray(3.5),
                        stage="no", num_inference_steps=2, sampler="plms")
+
+
+def test_generate_story_reuse_latents(setup):
+    """reuse_latents=True must condition frame 2 on frame 1's final
+    latents exactly (pinned against a manual _generate chain) and skip
+    the VAE roundtrip (so it differs from the pixel-fed rollout)."""
+    pipe = _tiny_pipe(setup)
+    kw = dict(height=64, width=64, num_inference_steps=2)
+    frames = pipe.generate_story(["a fox", "the fox runs"],
+                                 reuse_latents=True, **kw)
+    assert len(frames) == 2
+
+    f1, lat1 = pipe._generate(stage="no", prompt=["a fox"], **kw)
+    np.testing.assert_array_equal(frames[0], f1[0])
+    f2, _ = pipe._generate(stage="auto-regressive",
+                           prompt=["the fox runs"],
+                           ref_latents=lat1[None],
+                           prev_prompt=[["a fox"]], **kw)
+    np.testing.assert_array_equal(frames[1], f2[0])
+
+    # frame 1 has no refs -> identical across modes; frame 2 must
+    # differ (encode(decode(x0)) != x0)
+    frames_px = pipe.generate_story(["a fox", "the fox runs"], **kw)
+    np.testing.assert_array_equal(frames_px[0], frames[0])
+    assert np.abs(frames_px[1] - frames[1]).max() > 0

@@ -23,13 +23,25 @@ _SCRIPT = os.path.join(_REPO, "scripts", "tpu_kernel_check.py")
 def _run_check():
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # Fast reachability probe first: tunnel outages manifest as
+    # backend-init HANGS (not errors), and the full kernel check needs a
+    # 900 s budget for Mosaic compiles — without this probe every suite
+    # run during an outage stalls those full 15 minutes.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform == 'tpu'"],
+            capture_output=True, text=True, timeout=120, env=env)
+    except subprocess.TimeoutExpired:
+        return None
+    if probe.returncode != 0:
+        return None  # backend raised (e.g. UNAVAILABLE) -> unreachable
     try:
         return subprocess.run([sys.executable, _SCRIPT],
                               capture_output=True, text=True, timeout=900,
                               env=env)
     except subprocess.TimeoutExpired:
-        # tunnel outages manifest as backend-init hangs, not errors; a
-        # hung probe is "unreachable", not a kernel failure
+        # a hung check after a good probe is still "unreachable"
         return None
 
 
@@ -46,7 +58,7 @@ def _result():
 def test_flash_kernels_on_tpu():
     proc, res = _result()
     if proc is None:
-        pytest.skip("TPU probe timed out (tunnel hang) — unreachable")
+        pytest.skip("TPU unreachable (probe hang or backend-init failure)")
     if proc.returncode == 2 or (res and res.get("reason", "").startswith(
             "no TPU")):
         pytest.skip("no TPU reachable")
