@@ -21,12 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_EST_FRAMES_PER_SEC = 0.11
 
-def _wait_for_tpu(max_tries: int = 10, sleep_s: float = 60.0):
+def _wait_for_tpu(max_tries: int = None, sleep_s: float = 60.0):
     """The axon tunnel has transient outages (observed: backend init
-    raising UNAVAILABLE, or hanging). Probe jax.devices() in a subprocess
-    with a hard timeout and retry with backoff so a blip at bench time
-    doesn't cost the round's headline number. Returns silently on
-    success; raises after max_tries."""
+    raising UNAVAILABLE, or hanging — multi-HOUR on 2026-08-17). Probe
+    jax.devices() in a subprocess with a hard timeout and retry so an
+    outage at bench time doesn't cost the round's headline number: the
+    default budget is ~2.7 h (40 tries x 4 min), BENCH_TPU_TRIES
+    overrides. Returns silently on success; raises after max_tries."""
+    if max_tries is None:
+        max_tries = int(os.environ.get("BENCH_TPU_TRIES", "40"))
     import subprocess
     last = ""
     for i in range(max_tries):
