@@ -37,7 +37,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--sampler", default="ddim",
-                    choices=["ddim", "dpm++", "euler", "euler_a"])
+                    choices=["ddim", "dpm++", "pndm", "lms", "euler",
+                             "euler_a"])
     ap.add_argument("--eta", type=float, default=0.0,
                     help="DDIM stochasticity (reference eta kwarg, "
                          "model/pipeline.py:287)")

@@ -76,7 +76,7 @@ def main():
     # same protocol under a knob and diff the metrics against the exact
     # path to MEASURE the quality cost the knob table claims
     ap.add_argument("--sampler", default="ddim",
-                    choices=["ddim", "dpm++", "euler"])
+                    choices=["ddim", "dpm++", "pndm", "lms", "euler"])
     ap.add_argument("--ref_feature_interval", type=int, default=1)
     ap.add_argument("--out", default="quality.json",
                     help="output json filename under --root")

@@ -149,7 +149,16 @@ class StorySalonDataset:
         self._rng = _PerItemRNG(seed)
 
         def read_ids(name):
+            # corpus-root copy wins; else the lists shipped in repo data/
+            # (the reference's exact held-out ids: data/PDF_test_set.txt
+            # 451 stories, video_test_set.txt 64 — dataset.py:69-74), so a
+            # real-corpus run reproduces the paper split with no extra
+            # files in the corpus directory.
             p = os.path.join(root, name)
+            if not os.path.exists(p):
+                p = os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                    "data", name)
             if not os.path.exists(p):
                 return set()
             return {line.strip() for line in open(p) if line.strip()}

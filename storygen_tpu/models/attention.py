@@ -142,6 +142,50 @@ class GEGLU(nn.Module):
         return value * nn.gelu(gate, approximate=False)
 
 
+class GELUProj(nn.Module):
+    """Plain-GELU feed-forward projection: x W -> gelu (exact, not tanh)
+    (model/attention.py:353-370, the `GELU` class — dormant at the SD-1.5
+    operating point, which configures GEGLU; present for API parity)."""
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+        return nn.gelu(proj, approximate=False)
+
+
+class AdaLayerNorm(nn.Module):
+    """Timestep-adaptive LayerNorm (model/attention.py:396-412):
+    emb(t) -> SiLU -> Dense(2*dim) -> (scale, shift);
+    out = LN_noaffine(x) * (1 + scale) + shift.
+
+    Dormant at the SD-1.5 operating point (num_embeds_ada_norm unset in
+    the UNet config); present for API parity with the reference block."""
+    embedding_dim: int
+    num_embeddings: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, timestep: jax.Array) -> jax.Array:
+        emb = nn.Embed(self.num_embeddings, self.embedding_dim,
+                       name="emb")(timestep)
+        emb = nn.Dense(self.embedding_dim * 2, dtype=self.dtype,
+                       name="linear")(nn.silu(emb))
+        scale, shift = jnp.split(emb, 2, axis=-1)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        # scale/shift are per-(batch-of-timestep): unsqueeze to broadcast
+        # over the token axis like the reference's [:, None] indexing
+        while scale.ndim < x.ndim:
+            scale = scale[:, None]
+            shift = shift[:, None]
+        return (xf * (1 + scale.astype(jnp.float32))
+                + shift.astype(jnp.float32)).astype(x.dtype)
+
+
 class _Net2(nn.Module):
     """ff output projection; parameters identical to nn.Dense(features).
 
@@ -171,9 +215,15 @@ class _Net2(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU -> Dense, mult=4 (model/attention.py:305-350)."""
+    """GEGLU -> Dense, mult=4 (model/attention.py:305-350).
+
+    activation_fn="gelu" selects the reference's plain-GELU variant
+    (model/attention.py:320-324) — dormant at the SD-1.5 operating point,
+    wired for API parity; param names (net_0.proj, net_2) match either
+    way so diffusers checkpoints of both flavors import."""
     dim: int
     mult: int = 4
+    activation_fn: str = "geglu"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -181,6 +231,10 @@ class FeedForward(nn.Module):
         from storygen_tpu.ops import pallas_geglu
         from storygen_tpu.ops.attention import _on_tpu
         inner = self.dim * self.mult
+        if self.activation_fn == "gelu":
+            x = GELUProj(inner, dtype=self.dtype, name="net_0")(x)
+            return _Net2(self.dim, dtype=self.dtype, name="net_2")(
+                x, "plain")
         m = 1
         for s in x.shape[:-1]:
             m *= s

@@ -101,8 +101,10 @@ class StoryGenSampler:
           guidance_scale / image_guidance_scale: scalars (traced).
           sampler: 'ddim' (reference parity, pipeline.py:461), 'dpm++'
             (DPM-Solver++(2M): ~half the steps for DDIM-50 quality),
-            'euler', or 'euler_a' (reference scheduler-union parity,
-            model/pipeline.py:9-12; 'euler_a' needs sample_rng).
+            'pndm' (PLMS — the scheduler class the SD-1.5 checkpoint's
+            scheduler_config.json names; runs n+1 UNet steps for n),
+            'lms', 'euler', or 'euler_a' (reference scheduler-union
+            parity, model/pipeline.py:9-12; 'euler_a' needs sample_rng).
           eta: DDIM stochasticity (reference eta kwarg, pipeline.py:287;
             default 0 = deterministic). Needs sample_rng when > 0.
           ref_feature_interval: recompute the reference-cycle VLCM features
@@ -114,16 +116,36 @@ class StoryGenSampler:
         """
         from storygen_tpu.diffusion import dpm_solver as D
         from storygen_tpu.diffusion import euler as E
-        if sampler not in ("ddim", "dpm++", "euler", "euler_a"):
+        from storygen_tpu.diffusion import lms as L
+        from storygen_tpu.diffusion import pndm as P
+        if sampler not in ("ddim", "dpm++", "pndm", "lms", "euler",
+                           "euler_a"):
             raise ValueError(f"unknown sampler {sampler!r}")
         if (eta > 0.0 or sampler == "euler_a") and sample_rng is None:
             raise ValueError("eta > 0 / euler_a need sample_rng")
         sched = self.schedule
-        ts = S.ddim_timesteps(self.sched_cfg, num_inference_steps)
-        ratio = self.sched_cfg.num_train_timesteps // num_inference_steps
-        t_arr = jnp.asarray(ts, dtype=jnp.int32)
-        prev_arr = jnp.concatenate(
-            [t_arr[1:], jnp.asarray([ts[-1] - ratio], jnp.int32)])
+        if sampler == "pndm":
+            # PLMS visits the second timestep twice (n+1 UNet steps); the
+            # counter==1 coefficient juggling is folded into static arrays
+            t_eval, t_cf, prev_cf = P.plms_timesteps(self.sched_cfg,
+                                                     num_inference_steps)
+            t_arr = jnp.asarray(t_eval, jnp.int32)
+            tcoeff_arr = jnp.asarray(t_cf, jnp.int32)
+            prev_arr = jnp.asarray(prev_cf, jnp.int32)
+        elif sampler == "lms":
+            t_eval, sig_np, coeffs = L.lms_tables(self.sched_cfg,
+                                                  num_inference_steps)
+            t_arr = jnp.asarray(t_eval, jnp.float32)
+            sigma_arr = jnp.asarray(sig_np, jnp.float32)
+            coeff_arr = jnp.asarray(coeffs, jnp.float32)
+            prev_arr = None
+        else:
+            ts = S.ddim_timesteps(self.sched_cfg, num_inference_steps)
+            ratio = self.sched_cfg.num_train_timesteps // num_inference_steps
+            t_arr = jnp.asarray(ts, dtype=jnp.int32)
+            prev_arr = jnp.concatenate(
+                [t_arr[1:], jnp.asarray([ts[-1] - ratio], jnp.int32)])
+        n_iters = int(t_arr.shape[0])
 
         b = latents.shape[0]
         use_refs = stage in ("multi-image-condition", "auto-regressive")
@@ -155,13 +177,17 @@ class StoryGenSampler:
         def body(i, carry):
             latents, dpm_state = carry[0], carry[1]
             t = t_arr[i]
-            prev_t = prev_arr[i]
-            # Euler samplers carry x in sigma space (x = x0 + sigma*eps)
+            prev_t = prev_arr[i] if prev_arr is not None else None
+            # Euler/LMS samplers carry x in sigma space (x = x0 + sigma*eps)
             # and the UNet sees scale_model_input(x) (diffusers
-            # EulerDiscreteScheduler semantics; the DDIM family's
-            # scale_model_input is the identity).
-            model_lat = (E.scale_model_input(sched, latents, t)
-                         if is_euler else latents)
+            # EulerDiscreteScheduler/LMSDiscreteScheduler semantics; the
+            # DDIM family's scale_model_input is the identity).
+            if is_euler:
+                model_lat = E.scale_model_input(sched, latents, t)
+            elif sampler == "lms":
+                model_lat = L.scale_model_input(latents, sigma_arr[i])
+            else:
+                model_lat = latents
 
             if use_refs:
                 def compute_ctx(_):
@@ -249,6 +275,13 @@ class StoryGenSampler:
             if sampler == "dpm++":
                 new_latents, dpm_state2 = D.dpmpp_2m_step(
                     sched, eps, t, prev_t, latents, dpm_state)
+            elif sampler == "pndm":
+                new_latents, dpm_state2 = P.plms_step(
+                    sched, eps, i, tcoeff_arr[i], prev_t, latents,
+                    dpm_state)
+            elif sampler == "lms":
+                new_latents, dpm_state2 = L.lms_step(
+                    eps, i, coeff_arr[i], latents, dpm_state)
             elif sampler == "euler":
                 new_latents = E.euler_step(sched, eps, t, prev_t, latents)
                 dpm_state2 = dpm_state
@@ -302,9 +335,17 @@ class StoryGenSampler:
             # the DDIM-family schedule); lift into sigma space
             latents = (latents / self.schedule.init_noise_sigma
                        * E.sigma_of(sched, t_arr[0]))
+        elif sampler == "lms":
+            latents = (latents / self.schedule.init_noise_sigma
+                       * sigma_arr[0])
+        if sampler == "pndm":
+            samp_state = P.init_state(latents)
+        elif sampler == "lms":
+            samp_state = L.init_state(latents)
+        else:
+            samp_state = D.init_state(latents)
         final, _, _ = jax.lax.fori_loop(
-            0, num_inference_steps, body,
-            (latents, D.init_state(latents), init_ctx))
+            0, n_iters, body, (latents, samp_state, init_ctx))
         return final
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -405,7 +446,8 @@ class StoryGenPipeline:
             trained with `normalize_refs=True` data.
           prev_prompt: N lists of B captions for the reference frames.
           sampler: 'ddim' (reference parity) | 'dpm++' (25 steps ~
-            DDIM-50 quality) | 'euler' | 'euler_a'.
+            DDIM-50 quality) | 'pndm' (the SD-1.5 scheduler_config
+            class) | 'lms' | 'euler' | 'euler_a'.
           eta: DDIM stochasticity (reference eta kwarg,
             model/pipeline.py:287); noise drawn from `rng`.
           ref_feature_interval: recompute VLCM reference features every

@@ -206,3 +206,41 @@ def test_loader_multithreaded_deterministic_order():
         ba, bb = next(a), next(b)
         np.testing.assert_array_equal(ba["image"], bb["image"])
         assert ba["prompt"] == bb["prompt"]
+
+
+def test_shipped_reference_split_lists():
+    """The repo ships the reference's held-out story-id lists verbatim
+    (/root/reference/dataset.py:69-74 contract): data/PDF_test_set.txt has
+    451 ids, data/video_test_set.txt has 64, all zero-padded numeric."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pdf = [l.strip() for l in open(os.path.join(repo, "data",
+                                                "PDF_test_set.txt"))
+           if l.strip()]
+    vid = [l.strip() for l in open(os.path.join(repo, "data",
+                                                "video_test_set.txt"))
+           if l.strip()]
+    assert len(pdf) == 451
+    assert len(vid) == 64
+    assert all(i.isdigit() and len(i) == 6 for i in pdf + vid)
+
+
+def test_storysalon_falls_back_to_shipped_split_lists(tmp_path):
+    """A corpus root WITHOUT split-list files uses the shipped reference
+    lists: a story named after a shipped held-out id lands in 'test'."""
+    root = str(tmp_path)
+    held_out = "000026"  # first id in the shipped PDF_test_set.txt
+    for story, n in ((held_out, 4), ("900000", 4)):
+        for i in range(n):
+            _write_img(f"{root}/Image_inpainted/Bloom/{story}/{i:02d}.png",
+                       value=10)
+            _write_img(f"{root}/Mask/Bloom/{story}/{i:02d}.png", value=0)
+            _write_txt(f"{root}/Text/Caption/Bloom/{story}/{i:02d}.txt", "c")
+    train = StorySalonDataset(root, "train", size=64, cfg_dropout=False)
+    test = StorySalonDataset(root, "test", size=64)
+    assert len(train) == 1 and len(test) == 1
+    assert held_out in test.samples[0][0][0]
+    # an explicit (empty) corpus-root list still takes precedence
+    _write_txt(f"{root}/PDF_test_set.txt", "")
+    _write_txt(f"{root}/video_test_set.txt", "")
+    assert len(StorySalonDataset(root, "train", size=64,
+                                 cfg_dropout=False)) == 2

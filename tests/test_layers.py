@@ -287,3 +287,63 @@ class TestTransformer2DModel:
         ctx = jnp.concatenate([tap, tap, tap], axis=1)
         out2, _ = m.apply(params, x, text, ctx)
         assert out2.shape == x.shape
+
+
+def test_ada_layer_norm_matches_torch_formula():
+    """AdaLayerNorm (model/attention.py:396-412): LN without affine,
+    modulated by (1+scale, shift) from SiLU(emb(t)) -> Linear."""
+    rng = np.random.RandomState(11)
+    dim, n_emb, b, s = 16, 10, 2, 5
+    x = rng.randn(b, s, dim).astype(np.float32)
+    t = np.asarray([3, 7])
+    m = A.AdaLayerNorm(embedding_dim=dim, num_embeddings=n_emb)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t))
+    got = np.asarray(m.apply(params, jnp.asarray(x), jnp.asarray(t)))
+
+    emb = np.asarray(params["params"]["emb"]["embedding"])[t]
+    silu = emb * (1 / (1 + np.exp(-emb)))
+    lin_k = np.asarray(params["params"]["linear"]["kernel"])
+    lin_b = np.asarray(params["params"]["linear"]["bias"])
+    proj = silu @ lin_k + lin_b
+    scale, shift = proj[:, :dim], proj[:, dim:]
+    ln = ((x - x.mean(-1, keepdims=True))
+          / np.sqrt(x.var(-1, keepdims=True) + 1e-5))
+    want = ln * (1 + scale[:, None]) + shift[:, None]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_feedforward_gelu_variant_matches_torch():
+    """activation_fn='gelu' (model/attention.py:353-370): Dense -> exact
+    gelu -> Dense, same param names as the GEGLU flavor."""
+    rng = np.random.RandomState(12)
+    dim, b, s = 8, 2, 6
+    x = rng.randn(b, s, dim).astype(np.float32)
+    m = A.FeedForward(dim=dim, mult=2, activation_fn="gelu")
+    params = m.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    got = np.asarray(m.apply(params, jnp.asarray(x)))
+
+    p = params["params"]
+    h = to_t(x) @ to_t(np.asarray(p["net_0"]["proj"]["kernel"])) \
+        + to_t(np.asarray(p["net_0"]["proj"]["bias"]))
+    h = F.gelu(h)
+    want = (h @ to_t(np.asarray(p["net_2"]["kernel"]))
+            + to_t(np.asarray(p["net_2"]["bias"]))).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # param tree identical in names to the geglu flavor (import parity)
+    assert set(p.keys()) == {"net_0", "net_2"}
+
+
+def test_unet_mid_block_2d_runs():
+    """UNetMidBlock2D (unet_2d_blocks.py:119-194): plain resnet ->
+    self-attn -> resnet mid block, dormant at SD-1.5 but API-present."""
+    from storygen_tpu.models.unet_blocks import UNetMidBlock2D
+    c = 16
+    m = UNetMidBlock2D(in_channels=c, resnet_groups=4)
+    x = jnp.asarray(np.random.RandomState(13).randn(1, 8, 8, c),
+                    jnp.float32)
+    temb = jnp.asarray(np.random.RandomState(14).randn(1, 4 * c),
+                       jnp.float32)
+    params = m.init(jax.random.PRNGKey(2), x, temb)
+    y = m.apply(params, x, temb)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()

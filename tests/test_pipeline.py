@@ -383,10 +383,12 @@ def test_stage_no_two_row_equals_three_row(setup):
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("sampler_name", ["euler", "euler_a"])
+@pytest.mark.parametrize("sampler_name", ["euler", "euler_a", "pndm",
+                                          "lms"])
 def test_euler_sampler_dispatch(setup, sampler_name):
-    """'euler'/'euler_a' are dispatchable through sample() (reference
-    scheduler-union parity, model/pipeline.py:9-12)."""
+    """'euler'/'euler_a'/'pndm'/'lms' are dispatchable through sample()
+    (reference scheduler-union parity, model/pipeline.py:9-12; 'pndm' is
+    the class the SD-1.5 scheduler_config.json names)."""
     sampler, params = setup
     b = 1
     lat = jax.random.normal(jax.random.PRNGKey(51), (b, LAT, LAT, 4))
