@@ -39,7 +39,7 @@ SITES = [
 ]
 
 
-def bench(op, x, w, iters=1000):
+def bench(op, x, w, iters=1000, static_n=False):
     """Marginal per-iteration time of `op(x, w)`.
 
     The axon tunnel has a ~30 ms dispatch floor per jit call and elides
@@ -47,9 +47,17 @@ def bench(op, x, w, iters=1000):
     data-dependent weight perturbation inside ONE jitted while-loop
     (dynamic trip count -> one compile), consume the full output each
     iteration (slicing would let XLA DCE the conv down to one column),
-    and report (t(iters) - t(1)) / (iters - 1)."""
+    and report (t(iters) - t(1)) / (iters - 1).
 
-    @jax.jit
+    static_n bakes the trip count into the compile (one executable per n,
+    slower to build): REQUIRED for ops containing halo_downconv, which
+    faults the chip under dynamic-trip-count loops (known limit, see
+    ops/pallas_conv.py::halo_downconv) — static-bound fori matches the
+    production sampler/training loop shape anyway."""
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(3,) if static_n else ())
     def many(x, w, salt, n):
         def body(i, carry):
             acc, w = carry
@@ -57,7 +65,7 @@ def bench(op, x, w, iters=1000):
             acc = acc + jnp.sum(y.astype(jnp.float32))
             w = w * (1.0 + acc * 1e-30).astype(w.dtype)
             return (acc, w)
-        return jax.lax.fori_loop(0, n, body,
+        return jax.lax.fori_loop(0, int(n) if static_n else n, body,
                                  (salt.astype(jnp.float32), w),
                                  unroll=False)[0]
 

@@ -39,7 +39,11 @@ def main():
     ap.add_argument("--stories", type=int, default=4)
     ap.add_argument("--frames", type=int, default=7)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--test-stories", type=int, default=1,
+                    help="how many trailing stories go to the held-out "
+                         "split (video_test_set.txt)")
     args = ap.parse_args()
+    assert 0 < args.test_stories < args.stories
 
     img_root = os.path.join(args.root, "image_inpainted_finally_checked")
     mask_root = os.path.join(args.root, "mask")
@@ -59,11 +63,13 @@ def main():
             with open(os.path.join(txt_root, sid, f"{i}.txt"), "w") as f:
                 f.write(f"synthetic story {s} frame {i}: a red circle "
                         f"moves across a gradient field\n")
-    # last story held out for validation
+    # trailing stories held out for validation/quality scoring
     with open(os.path.join(args.root, "video_test_set.txt"), "w") as f:
-        f.write(f"synth{args.stories - 1:03d}\n")
+        for s in range(args.stories - args.test_stories, args.stories):
+            f.write(f"synth{s:03d}\n")
     print(f"wrote {args.stories} stories x {args.frames} frames "
-          f"at {args.size}px under {args.root}")
+          f"at {args.size}px under {args.root} "
+          f"({args.test_stories} held out)")
 
 
 if __name__ == "__main__":

@@ -28,13 +28,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def ensure_synth(root: str):
-    if not os.path.isdir(os.path.join(root,
-                                      "image_inpainted_finally_checked")):
-        subprocess.check_call([sys.executable,
-                               os.path.join(REPO, "scripts",
-                                            "make_synth_storysalon.py"),
-                               "--root", root])
+def ensure_synth(root: str, stories: int, frames: int, test_stories: int):
+    img_root = os.path.join(root, "image_inpainted_finally_checked")
+    if (os.path.isdir(img_root)
+            and len(os.listdir(img_root)) >= stories):
+        return
+    subprocess.check_call([sys.executable,
+                           os.path.join(REPO, "scripts",
+                                        "make_synth_storysalon.py"),
+                           "--root", root, "--stories", str(stories),
+                           "--frames", str(frames),
+                           "--test-stories", str(test_stories)])
 
 
 def ensure_clip(path: str):
@@ -80,10 +84,15 @@ def main():
     ap.add_argument("--ref_feature_interval", type=int, default=1)
     ap.add_argument("--out", default="quality.json",
                     help="output json filename under --root")
+    # corpus sizing: defaults give 4 held-out stories x 13 windows = 52
+    # test windows (VERDICT r3 #4: N>=50, report distributions not means)
+    ap.add_argument("--stories", type=int, default=18)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--test-stories", type=int, default=4)
     args = ap.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
-    ensure_synth(args.data)
+    ensure_synth(args.data, args.stories, args.frames, args.test_stories)
     train_dir = os.path.join(args.root, "train")
     ckpt = os.path.join(train_dir, "checkpoint_50")
 
@@ -176,11 +185,27 @@ def main():
     feats_gt = scorer.image_embed(gt_imgs)
     m_fid = fid_from_features(feats_gt, feats_gen)
     picker = PickScorer(clip_path, clip_path)
-    m_pick = float(np.mean([picker.score(c, [im])[0]
-                            for c, im in zip(captions, gen_imgs)]))
+    picks = np.asarray([picker.score(c, [im])[0]
+                        for c, im in zip(captions, gen_imgs)])
+
+    # per-window score DISTRIBUTIONS (VERDICT r3 #4): the embeds are
+    # already L2-normalized, so per-window CLIP-I/T are the row dots
+    per_clip_i = np.sum(feats_gen * feats_gt, axis=-1)
+    text_feats = scorer.text_embed(captions)
+    per_clip_t = np.sum(feats_gen * text_feats, axis=-1)
+
+    def dist(a):
+        a = np.asarray(a, np.float64)
+        return {"mean": float(a.mean()), "std": float(a.std()),
+                "p10": float(np.percentile(a, 10)),
+                "p50": float(np.percentile(a, 50)),
+                "p90": float(np.percentile(a, 90)), "n": int(a.size)}
 
     metrics = {"clip_i": m_clip_i, "clip_t": m_clip_t,
-               "clip_fid": m_fid, "pickscore": m_pick,
+               "clip_fid": m_fid, "pickscore": float(picks.mean()),
+               "clip_i_dist": dist(per_clip_i),
+               "clip_t_dist": dist(per_clip_t),
+               "pickscore_dist": dist(picks),
                "num_windows": len(test_ds),
                "num_inference_steps": args.num_inference_steps,
                "sampler": args.sampler,

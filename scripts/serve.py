@@ -150,6 +150,13 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree: shard the UNet over a "
+                         "(data, tensor) mesh (parallel/tensor.py) to cut "
+                         "single-story latency on a multi-chip host. "
+                         "Correctness-tested on the virtual CPU mesh; "
+                         "latency benefit UNMEASURED on real multi-chip "
+                         "(single-chip bench sandbox, BENCH.md).")
     args = ap.parse_args()
 
     import jax
@@ -165,6 +172,16 @@ def main():
     from storygen_tpu.pipeline import StoryGenPipeline
 
     b = load_diffusers_pretrained(args.ckpt, dtype=jnp.bfloat16)
+    if args.tp > 1:
+        from storygen_tpu.parallel import tensor as T
+        n = len(jax.devices())
+        assert n % args.tp == 0, (n, args.tp)
+        mesh = T.make_tp_mesh(n // args.tp, args.tp)
+        b["unet_params"] = T.shard_unet_params(b["unet_params"], mesh)
+        b["vae_params"], b["text_params"] = T.replicated_on(
+            mesh, (b["vae_params"], b["text_params"]))
+        print(f"[serve] tp={args.tp} over {n} devices "
+              f"(mesh {dict(mesh.shape)})", file=sys.stderr)
     tok_dir = os.path.join(args.ckpt, "tokenizer")
     pipe = StoryGenPipeline(
         b["unet"], b["unet_params"], b["vae"], b["vae_params"],

@@ -10,14 +10,14 @@ Run:  python scripts/bench_down_conv.py
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
 
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
                  ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -63,9 +63,11 @@ def main():
             print(f"{name:24} {b:>2}   - {t_i*1e3:8.3f} {t_s*1e3:8.3f} "
                   f"{'(no slab fits VMEM)':>8}")
             continue
+        # static_n: halo_downconv faults under dynamic-trip loops (see
+        # ops/pallas_conv.py known chip limit)
         t_h = bench(lambda x, w: halo_downconv(x, w, padding=pad,
                                                block_h=bho),
-                    x, w, iters=300)
+                    x, w, iters=300, static_n=True)
         flops = 2.0 * b * ho * wo * 9 * cin * cout
         print(f"{name:24} {b:>2} {bho:>3} {t_i*1e3:8.3f} {t_s*1e3:8.3f} "
               f"{t_h*1e3:8.3f} {flops/t_h/1e12:8.1f} {t_i/t_h:8.2f}x")

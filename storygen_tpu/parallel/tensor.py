@@ -96,3 +96,63 @@ def shard_unet_params(params: Any, mesh: Mesh) -> Any:
 def replicated_on(mesh: Mesh, tree: Any) -> Any:
     rep = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def _path_strs(path) -> Tuple[str, ...]:
+    out = []
+    for k in path:
+        if hasattr(k, "key"):
+            out.append(str(k.key))
+        elif hasattr(k, "idx"):
+            out.append(str(k.idx))
+        else:
+            out.append(str(k))
+    return tuple(out)
+
+
+def tp_place(tree: Any, mesh: Mesh) -> Any:
+    """Place ANY pytree whose leaf paths end in UNet param names
+    (trainable subtree, frozen subtree, optimizer moments) per
+    unet_param_spec; unrecognized leaves replicate.
+
+    Works on optimizer state too because adam moments mirror the param
+    tree — their key paths carry the same trailing (module, leaf) names
+    unet_param_spec keys on."""
+    ts = mesh.shape[TENSOR_AXIS]
+
+    def place(path, w):
+        p = _path_strs(path)
+        spec = unet_param_spec(p, np.shape(w))
+        ok = (np.ndim(w) == len(spec) or spec == P()) and all(
+            d is None or np.shape(w)[i] % ts == 0
+            for i, d in enumerate(spec))
+        return jax.device_put(w, NamedSharding(mesh, spec if ok else P()))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
+def tp_shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Batch axis shards over 'data' only; 'tensor' sees full batches."""
+    from storygen_tpu.parallel.mesh import REF_MAJOR_KEYS
+    bs = NamedSharding(mesh, P(DATA_AXIS))
+    ref_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    def place(path, x):
+        x = np.asarray(x)
+        key = _path_strs(path)[-1] if path else ""
+        return jax.device_put(x, ref_sh if key in REF_MAJOR_KEYS else bs)
+
+    return jax.tree_util.tree_map_with_path(place, batch)
+
+
+def jit_train_step_tp(step_fn):
+    """jit a training step for (data, tensor) execution.
+
+    Inputs must be pre-placed (tp_place for state/frozen-unet,
+    replicated_on for vae/text, tp_shard_batch for the batch): jit
+    honors committed input shardings and GSPMD propagates them through
+    grads and the optimizer — column/row-split params produce identically
+    split moments and updates, with psums over 'tensor' inserted where
+    row-split matmuls contract and over 'data' where the loss mean
+    contracts the batch."""
+    return jax.jit(step_fn, donate_argnums=(0,))

@@ -131,15 +131,29 @@ def make_train_step(unet, vae, text_encoder, sched: S.NoiseSchedule,
                     batch["ref_latent_moments"], ref_keys)
             else:
                 ref_imgs = batch["ref_images"]
+                import os
+                form = os.environ.get("STORYGEN_REF_ENCODE", "batched")
+                if form == "map":
+                    # one ref-group at a time under lax.scan: smallest
+                    # peak HBM, but measured 2.8x slower composed than
+                    # precomputed latents (XLA schedules the scanned
+                    # encoder poorly against the UNet passes; BENCH.md r3)
+                    def enc(args):
+                        imgs, key = args
+                        return vae.apply(frozen.vae, imgs,
+                                         method=vae.encode).sample(key) * sf
 
-                # encode refs one ref-group at a time (lax.map): a single
-                # (N*B, 512, 512, 128) VAE activation would dominate HBM
-                def enc(args):
-                    imgs, key = args
-                    return vae.apply(frozen.vae, imgs,
-                                     method=vae.encode).sample(key) * sf
-
-                ref_lat = jax.lax.map(enc, (ref_imgs, ref_keys))
+                    ref_lat = jax.lax.map(enc, (ref_imgs, ref_keys))
+                elif form == "unroll":
+                    ref_lat = jnp.stack([
+                        vae.apply(frozen.vae, ref_imgs[i],
+                                  method=vae.encode).sample(ref_keys[i]) * sf
+                        for i in range(n)])
+                else:  # "batched": one (N*B) encoder call
+                    flat = ref_imgs.reshape((n * b,) + ref_imgs.shape[2:])
+                    dist = vae.apply(frozen.vae, flat, method=vae.encode)
+                    z = dist.sample(ks[3]) * sf
+                    ref_lat = z.reshape((n, b) + z.shape[1:])
             ref_noise = jax.random.normal(ks[4], latents.shape,
                                           latents.dtype)
             ref_t = t // 10  # train_StorySalon_stage2.py:295-297

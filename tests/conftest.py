@@ -33,3 +33,11 @@ _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy test (torch goldens, trainer loops, TP "
+        "meshes). Default CI lane: pytest -m 'not slow' (<5 min cold); "
+        "full lane: plain pytest (~40 min cold on a shared CPU).")

@@ -120,6 +120,7 @@ def test_orbax_save_restore(tmp_path, unet_params):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_folder_level_roundtrip(tmp_path):
     """save_pretrained folder -> load_diffusers_pretrained reproduces the
     models end-to-end (configs + weights + scheduler)."""
@@ -218,6 +219,7 @@ def test_sd15_clip_key_manifest_matches_transformers():
     assert keys == real
 
 
+@pytest.mark.slow
 def test_save_pretrained_reference_loadable_layout(tmp_path):
     """Exported folders must mirror the structure the reference opens
     (inference.py:44-48 + model_index.json root): every component

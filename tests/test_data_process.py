@@ -147,6 +147,7 @@ class TestCaption:
 
 
 class TestInpaint:
+    @pytest.mark.slow
     def test_tpu_inpaint_preserves_unmasked(self):
         from storygen_tpu.configs import UNetConfig, VAEConfig
         from storygen_tpu.models.unet import UNet2DConditionModel

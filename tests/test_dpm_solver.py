@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from storygen_tpu.configs import SchedulerConfig
 from storygen_tpu.diffusion import dpm_solver as D
@@ -47,6 +48,7 @@ def test_second_order_term_engages():
     assert not np.allclose(np.asarray(x2a), np.asarray(x2b))
 
 
+@pytest.mark.slow
 def test_pipeline_sampler_option():
     from storygen_tpu.configs import UNetConfig, VAEConfig
     from storygen_tpu.models.unet import UNet2DConditionModel
@@ -79,6 +81,7 @@ def test_pipeline_sampler_option():
     assert not np.allclose(np.asarray(o_ddim), np.asarray(o_dpm))
 
 
+@pytest.mark.slow
 def test_dpm_with_refs():
     """DPM++ sampler through the full reference-conditioned loop."""
     from storygen_tpu.configs import UNetConfig, VAEConfig

@@ -59,16 +59,16 @@ def test_conv3x3_grads_match_shift_conv():
 
 
 def test_conv3x3_grad_dx_takes_halo_path():
-    # (1, 64, 64, 8) is halo-eligible (h*w == 64x64, slab fits VMEM), so
-    # _conv3x3_bwd routes dL/dx through halo_conv(g, k_flip) — verify the
-    # dispatched backward against the pure shift-GEMM reference.
+    # (1, 64, 64, 64) is halo-eligible (h*w == 64x64, >=64 channels, slab
+    # fits VMEM), so _conv3x3_bwd routes dL/dx through halo_conv(g, k_flip)
+    # — verify the dispatched backward against the shift-GEMM reference.
     from storygen_tpu.ops.shift_conv import halo_block_h
-    assert halo_block_h((1, 64, 64, 8), (3, 3), "SAME", 8, 4) is not None
+    assert halo_block_h((1, 64, 64, 64), (3, 3), "SAME", 64, 4) is not None
     rng = np.random.RandomState(3)
-    x = jnp.asarray(rng.randn(1, 64, 64, 8), jnp.float32)
-    k = jnp.asarray(rng.randn(3, 3, 8, 8) * 0.1, jnp.float32)
-    bias = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
-    g = jnp.asarray(rng.randn(1, 64, 64, 8), jnp.float32)
+    x = jnp.asarray(rng.randn(1, 64, 64, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.randn(1, 64, 64, 64), jnp.float32)
 
     def grads(fn):
         return jax.grad(lambda *a: (fn(*a) * g).sum(), argnums=(0, 1, 2))

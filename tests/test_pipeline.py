@@ -134,6 +134,7 @@ def test_encode_ref_latents_shape(setup):
     assert z.shape == (3, 2, LAT, LAT, 4)
 
 
+@pytest.mark.slow
 def test_ref_feature_interval(setup):
     """interval=1 is the exact path; interval=2 runs, differs, stays finite."""
     sampler, params = setup
@@ -157,6 +158,7 @@ def test_ref_feature_interval(setup):
     assert not np.allclose(np.asarray(cached), np.asarray(exact))
 
 
+@pytest.mark.slow
 def test_multi_image_zero_row_dedup_is_exact(setup):
     """The (N+1)-group multi-image reference pass must equal the naive
     3-rows-per-ref formulation of the reference (pipeline.py:417-443)."""
@@ -212,6 +214,7 @@ def test_multi_image_zero_row_dedup_is_exact(setup):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_eta_stochastic_ddim(setup):
     """eta>0 adds per-step noise (reference eta kwarg, pipeline.py:287)."""
     sampler, params = setup
@@ -234,6 +237,7 @@ def test_eta_stochastic_ddim(setup):
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
 
 
+@pytest.mark.slow
 def test_num_images_per_prompt_batched(setup):
     """num_images_per_prompt folds N samples per prompt into one sampler
     call (reference model/pipeline.py:87-196 embedding duplication):
@@ -324,6 +328,7 @@ def _tiny_pipe(setup):
                             params["vae"], clip, clip_params, fake_tok)
 
 
+@pytest.mark.slow
 def test_generate_story_feeds_refs_in_distribution(setup):
     """The rollout driver must feed history frames to the VAE in the
     SAME range the checkpoint was trained with: [0, 1] by default (the
@@ -349,6 +354,7 @@ def test_generate_story_feeds_refs_in_distribution(setup):
     assert np.abs(frames_n[1] - frames[1]).max() > 0
 
 
+@pytest.mark.slow
 def test_stage_no_two_row_equals_three_row(setup):
     """Stage 'no' runs a 2-row CFG batch; the reference runs a
     degenerate 3-row batch ([latents]*3, text [uncond,uncond,cond],
@@ -421,6 +427,7 @@ def test_unknown_sampler_raises(setup):
                        stage="no", num_inference_steps=2, sampler="plms")
 
 
+@pytest.mark.slow
 def test_generate_story_reuse_latents(setup):
     """reuse_latents=True must condition frame 2 on frame 1's final
     latents exactly (pinned against a manual _generate chain) and skip

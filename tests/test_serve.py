@@ -122,3 +122,45 @@ def test_http_round_trip(pipe):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+@pytest.mark.slow
+def test_service_with_tp_sharded_params():
+    """scripts/serve.py --tp path: UNet params sharded over a
+    (data, tensor) mesh still serve a story (GSPMD handles the sampler's
+    jitted fori_loop transparently; VERDICT r3 #7 serving wiring).
+    Channel widths must divide the tensor axis, so this uses the
+    TP-compatible small config rather than the module fixture."""
+    from storygen_tpu.parallel import tensor as T
+    rng = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(config=UNetConfig(
+        block_out_channels=(32, 64, 64, 64), attention_head_dim=4,
+        norm_num_groups=4, cross_attention_dim=24))
+    unet_params = jax.jit(unet.init)(
+        rng, jnp.zeros((1, 8, 8, 4)), jnp.asarray([0]),
+        jnp.zeros((1, 7, 24)))
+    vae = AutoencoderKL(config=VAE_SMALL)
+    vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
+    clip = CLIPTextModel(config=CLIPTextConfig(
+        vocab_size=64, hidden_size=24, intermediate_size=48,
+        num_hidden_layers=1, num_attention_heads=2,
+        max_position_embeddings=7))
+    clip_params = jax.jit(clip.init)(rng, jnp.zeros((1, 7), jnp.int32))
+
+    mesh = T.make_tp_mesh(2, 4)
+    unet_tp = T.shard_unet_params(unet_params, mesh)
+    vae_r, clip_r = T.replicated_on(mesh, (vae_params, clip_params))
+
+    def fake_tok(texts):
+        return np.asarray([[hash(t) % 64 for _ in range(7)]
+                           for t in texts], np.int32)
+
+    pipe_tp = StoryGenPipeline(unet, unet_tp, vae, vae_r, clip, clip_r,
+                               fake_tok)
+    svc = StoryService(pipe_tp)
+    out = svc.generate({"prompts": ["a fox", "a lantern"],
+                        "num_inference_steps": 2, "height": 64,
+                        "width": 64, "seed": 3})
+    assert len(out["frames_b64"]) == 2
+    img = _decode_png(out["frames_b64"][0])
+    assert img.shape == (64, 64, 3)

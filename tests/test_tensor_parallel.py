@@ -8,6 +8,9 @@ import pytest
 from storygen_tpu.configs import UNetConfig
 from storygen_tpu.models.unet import UNet2DConditionModel
 from storygen_tpu.parallel import tensor as T
+# compile-heavy lane: excluded from `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 # channel widths divisible by tensor axis (4) with group alignment:
 # groups=4 -> group sizes 8/16; 4-way shard of 32 -> 8 channels = 1 group
@@ -105,3 +108,74 @@ def test_tp_full_8way(setup):
     out_tp, _ = jax.jit(model.apply)(params_tp, *inputs)
     np.testing.assert_allclose(np.asarray(out_tp), np.asarray(base),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_tp_train_step_matches_dp(setup):
+    """One stage-2 training step under a (data=2, tensor=4) mesh must
+    produce the same updated trainable params and loss as the replicated
+    single-logical-device step: GSPMD propagates the column/row param
+    splits through grads and adam, inserting tensor-axis psums (VERDICT
+    r3 #7 — TP beyond forward)."""
+    from storygen_tpu.configs import (CLIPTextConfig, SchedulerConfig,
+                                      TrainConfig, VAEConfig)
+    from storygen_tpu.diffusion import schedule as S
+    from storygen_tpu.models.clip_text import CLIPTextModel
+    from storygen_tpu.models.vae import AutoencoderKL
+    from storygen_tpu.training import optim, steps
+
+    model, params = setup
+    rng = jax.random.PRNGKey(0)
+    vae = AutoencoderKL(config=VAEConfig(block_out_channels=(8, 8, 8, 8),
+                                         layers_per_block=1,
+                                         norm_num_groups=2))
+    vp = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
+    clip_cfg = CLIPTextConfig(vocab_size=64, hidden_size=16,
+                              intermediate_size=32, num_hidden_layers=1,
+                              num_attention_heads=2,
+                              max_position_embeddings=8)
+    clip = CLIPTextModel(config=clip_cfg)
+    cp = jax.jit(clip.init)(rng, jnp.zeros((1, 8), jnp.int32))
+
+    tx = optim.make_optimizer(TrainConfig(gradient_accumulation_steps=1,
+                                          learning_rate=1e-3))
+    trainable, frozen_unet = optim.partition_params(
+        params, optim.STAGE_PREDICATES["stage2"])
+    sched = S.make_schedule(SchedulerConfig())
+    step = steps.make_stage2_step(model, vae, clip, sched, tx)
+
+    b, img = 2, 64
+    r = np.random.RandomState(0)
+    batch = {
+        "image": r.randn(b, img, img, 3).astype(np.float32) * 0.2,
+        "mask": (r.rand(b, img, img, 1) > 0.8).astype(np.float32),
+        "input_ids": r.randint(0, 64, (b, 8)).astype(np.int32),
+        "ref_images": r.randn(3, b, img, img, 3).astype(np.float32) * 0.2,
+        "ref_input_ids": r.randint(0, 64, (3, b, 8)).astype(np.int32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    state0 = steps.init_train_state(jax.tree.map(jnp.copy, trainable), tx)
+    frozen = steps.FrozenBundle(unet_frozen=frozen_unet, vae=vp, text=cp)
+    base_state, base_metrics = jax.jit(step)(state0, frozen, batch, key)
+
+    mesh = T.make_tp_mesh(2, 4)
+    tp_state = T.tp_place(
+        steps.init_train_state(jax.tree.map(jnp.copy, trainable), tx), mesh)
+    tp_frozen = steps.FrozenBundle(
+        unet_frozen=T.tp_place(frozen_unet, mesh),
+        vae=T.replicated_on(mesh, vp), text=T.replicated_on(mesh, cp))
+    tp_batch = T.tp_shard_batch(batch, mesh)
+    tp_step = T.jit_train_step_tp(step)
+    tp_out, tp_metrics = tp_step(tp_state, tp_frozen, tp_batch,
+                                 T.replicated_on(mesh, key))
+
+    np.testing.assert_allclose(float(tp_metrics["loss"]),
+                               float(base_metrics["loss"]), rtol=2e-4)
+    flat_a = jax.tree_util.tree_leaves_with_path(base_state.trainable)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(tp_out.trainable))
+    assert flat_a
+    for path, a in flat_a:
+        bv = flat_b[path]
+        np.testing.assert_allclose(
+            np.asarray(bv), np.asarray(a), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path))

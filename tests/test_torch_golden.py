@@ -24,6 +24,9 @@ from storygen_tpu.diffusion import schedule as S
 from storygen_tpu.models.unet import UNet2DConditionModel
 
 from tests import torch_mirror as M
+# compile-heavy lane: excluded from `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 CFG = UNetConfig(block_out_channels=(16, 32, 32, 32), attention_head_dim=4,
                  norm_num_groups=4, cross_attention_dim=24)

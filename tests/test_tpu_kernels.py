@@ -14,6 +14,9 @@ import subprocess
 import sys
 
 import pytest
+# compile-heavy lane: excluded from `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SCRIPT = os.path.join(_REPO, "scripts", "tpu_kernel_check.py")

@@ -12,6 +12,11 @@ from storygen_tpu.models.clip_text import CLIPTextModel
 from storygen_tpu.models.unet import UNet2DConditionModel
 from storygen_tpu.models.vae import AutoencoderKL
 from storygen_tpu.training.trainer import train
+import pytest
+
+# compile-heavy lane: excluded from `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 
 class SynthDataset:

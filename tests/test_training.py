@@ -17,6 +17,9 @@ from storygen_tpu.models.vae import AutoencoderKL
 from storygen_tpu.parallel import mesh as M
 from storygen_tpu.training import optim, steps
 from storygen_tpu.training.losses import downsample_mask, masked_mse
+# compile-heavy lane: excluded from `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 
 UNET_SMALL = UNetConfig(block_out_channels=(16, 32, 32, 32),
                         attention_head_dim=4, norm_num_groups=4,

@@ -18,6 +18,9 @@ from storygen_tpu.configs import UNetConfig
 from storygen_tpu.models.unet import (CONTEXT_KEYS, UNet2DConditionModel,
                                       context_shapes, init_unet_params)
 
+# compile-heavy lane: excluded from `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 # Small config: same topology, narrow channels -> fast CPU tests.
 SMALL = UNetConfig(block_out_channels=(32, 64, 128, 128),
                    attention_head_dim=4, norm_num_groups=8,

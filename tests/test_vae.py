@@ -8,6 +8,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# compile-heavy lane: excluded from `pytest -m 'not slow'`
+pytestmark = pytest.mark.slow
+
 from storygen_tpu.configs import VAEConfig
 from storygen_tpu.models.vae import AutoencoderKL, DiagonalGaussian
 
