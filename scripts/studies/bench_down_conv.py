@@ -59,6 +59,11 @@ def main():
                     x, w, iters=300)
         t_s = bench(lambda x, w: shift_conv(x, w, stride=2, padding=pad),
                     x, w, iters=300)
+        from storygen_tpu.ops.shift_conv import HALO_DOWN_ENABLED
+        if not HALO_DOWN_ENABLED:
+            print(f"{name:24} {b:>2}   - {t_i*1e3:8.3f} {t_s*1e3:8.3f} "
+                  f"{'(halo quarantined)':>8}")
+            continue
         if bho is None:
             print(f"{name:24} {b:>2}   - {t_i*1e3:8.3f} {t_s*1e3:8.3f} "
                   f"{'(no slab fits VMEM)':>8}")

@@ -158,11 +158,16 @@ def main():
     results["halo_conv_bwd_relerr"] = cbe
     ok &= cbe < TOL_FWD
 
-    # stride-2 phase-split halo kernel, both model padding conventions
+    # stride-2 phase-split halo kernel, both model padding conventions.
+    # QUARANTINED by default: the kernel faults the chip nondeterministically
+    # (ops/pallas_conv.py known-fault note) and would kill this gate ~half
+    # the time; opt in with STORYGEN_HALO_DOWN=1 to re-evaluate.
     from storygen_tpu.ops.pallas_conv import halo_downconv
+    from storygen_tpu.ops.shift_conv import HALO_DOWN_ENABLED
     for tag, pad, (hh, cc) in (
             ("halo_down_sym_relerr", ((1, 1), (1, 1)), (64, 320)),
-            ("halo_down_asym_relerr", ((0, 1), (0, 1)), (128, 128))):
+            ("halo_down_asym_relerr", ((0, 1), (0, 1)), (128, 128))) \
+            if HALO_DOWN_ENABLED else ():
         kd = jax.random.split(jax.random.PRNGKey(7), 3)
         xd = jax.random.normal(kd[0], (2, hh, hh, cc), jnp.bfloat16)
         wd = jax.random.normal(kd[1], (3, 3, cc, cc), jnp.bfloat16) * 0.03

@@ -41,8 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from storygen_tpu.ops.shift_conv import halo_block_h, shift_conv
 
-# v5e VMEM is ~16 MB/core; leave headroom for Mosaic's own buffers.
-VMEM_BUDGET = 12 * 2 ** 20
+# v5e VMEM is ~16 MB/core; leave headroom for Mosaic's own buffers. The
+# budget model is truthful since r4 (lane-padded cout), so less slack is
+# needed than the old 12M: the model over-predicted the one measured OOM
+# by only 2.7% (24.85M predicted vs 24.18M real scoped alloc).
+VMEM_BUDGET = 14 * 2 ** 20
 
 
 def _kernel(xp_ref, w_ref, b_ref, o_ref, slab, sem, *, bh: int, w: int,
@@ -75,17 +78,23 @@ def pick_block_h(h: int, w: int, cin: int, cout: int,
     Working set: halo slab + one dx-shifted view + full weights + double-
     buffered output block + fp32 accumulator. Returns None if no slab
     height fits (caller falls back to shift-GEMM).
+
+    Mosaic lane-pads the LAST dim of every VMEM buffer to 128, so cout
+    must be charged at its padded width — the r3 bench OOM'd exactly here
+    (VAE conv_out, cout 3: real scoped alloc 24.18M at bh=32 vs an 8.9M
+    raw-cout estimate; the padded model predicts 24.85M).
     """
     wp = w + 2 + (-(w + 2)) % 8
     cinp = cin + (-cin) % 128
+    coutp = cout + (-cout) % 128
     for bh in (32, 16, 8):
         if h % bh:
             continue
         need = ((bh + 2) * wp * cinp * itemsize          # slab
                 + (bh + 2) * w * cinp * itemsize         # live dx view
-                + 9 * cinp * cout * itemsize             # weights
-                + 2 * bh * w * cout * itemsize           # out blocks
-                + bh * w * cout * 4)                     # fp32 acc
+                + 9 * cinp * coutp * itemsize            # weights
+                + 2 * bh * w * coutp * itemsize          # out blocks
+                + bh * w * coutp * 4)                    # fp32 acc
         if need <= VMEM_BUDGET:
             return bh
     return None
@@ -136,24 +145,25 @@ def halo_conv(x: jax.Array, kernel: jax.Array,
     )(xp, w9, b2)
 
 
-def _down_kernel(pee_ref, peo_ref, poe_ref, poo_ref, w_ref, b_ref, o_ref,
-                 slab, sem, *, bho: int, wo: int, cin: int, cout: int,
-                 wop: int):
+def _down_kernel(ph_ref, w_ref, b_ref, o_ref, slab, sem, *, bho: int,
+                 wo: int, cin: int, cout: int, wop: int):
     """Stride-2 3x3 conv over four parity phases of the padded input.
 
     Tap (dy, dx) reads phase (dy%2, dx%2) at row offset dy//2, col offset
     dx//2 — every slice is a plain contiguous window (no strided VMEM
-    access). `slab` holds the four (bho+1, wop, cin) phase slabs."""
+    access). `ph_ref` stacks the phases as (B, 4, ho+1, wop, cin) in HBM
+    — dynamic batch index LEADING, the stable stride-1 kernel's
+    `.at[b, ...]` source pattern — and ONE multi-dim DMA fetches all four
+    (bho+1)-row phase slabs per grid step. (Two earlier forms — four
+    concurrent copies on a shared semaphore, and a phase-leading stack
+    with `.at[:, b, ...]` — faulted the chip NONDETERMINISTICALLY across
+    compiled programs; see the known-limit note on halo_downconv.)"""
     b = pl.program_id(0)
     i = pl.program_id(1)
-    phases = (pee_ref, peo_ref, poe_ref, poo_ref)
-    dmas = [pltpu.make_async_copy(
-        phases[p].at[b, pl.ds(i * bho, bho + 1)], slab.at[p], sem)
-        for p in range(4)]
-    for d in dmas:          # issue all four, then barrier: the copies
-        d.start()           # overlap instead of serializing start/wait
-    for d in dmas:
-        d.wait()
+    dma = pltpu.make_async_copy(
+        ph_ref.at[b, :, pl.ds(i * bho, bho + 1)], slab, sem)
+    dma.start()
+    dma.wait()
     acc = None
     for dy in range(3):
         for dx in range(3):
@@ -170,17 +180,21 @@ def _down_kernel(pee_ref, peo_ref, poe_ref, poo_ref, w_ref, b_ref, o_ref,
 
 def pick_down_block_h(ho: int, wo: int, cin: int, cout: int,
                       itemsize: int = 2) -> Optional[int]:
-    """Output-row slab height for halo_downconv, or None (fall back)."""
+    """Output-row slab height for halo_downconv, or None (fall back).
+
+    As in pick_block_h, cout is charged lane-padded (Mosaic pads the last
+    dim of VMEM buffers to 128)."""
     wop = wo + 1 + (-(wo + 1)) % 8
     cinp = cin + (-cin) % 128
+    coutp = cout + (-cout) % 128
     for bho in (32, 16, 8):
         if ho % bho:
             continue
         need = (4 * (bho + 1) * wop * cinp * itemsize    # phase slabs
                 + (bho + 1) * wo * cinp * itemsize       # live view
-                + 9 * cinp * cout * itemsize             # weights
-                + 2 * bho * wo * cout * itemsize         # out blocks
-                + bho * wo * cout * 4)                   # fp32 acc
+                + 9 * cinp * coutp * itemsize            # weights
+                + 2 * bho * wo * coutp * itemsize        # out blocks
+                + bho * wo * coutp * 4)                  # fp32 acc
         if need <= VMEM_BUDGET:
             return bho
     return None
@@ -202,7 +216,22 @@ def halo_downconv(x: jax.Array, kernel: jax.Array,
     strided VMEM access. HBM traffic: one read of x (phase split) + one
     read of the phases + one output write, vs im2col's 2.25x patch
     write + 2.25x read + read (measured 29% of bound at the UNet's
-    64x64 s2 site, BENCH.md round 3)."""
+    64x64 s2 site, BENCH.md round 3).
+
+    KNOWN CHIP FAULT — QUARANTINED (r4, jax 0.9.0 / v5e via axon):
+    Mosaic-compiled instances of this kernel fault the TPU worker
+    NONDETERMINISTICALLY — roughly half of compiled programs crash on
+    first execution, the rest run correctly forever (the on-chip
+    numerics gate passed it twice). Reproduced across: four per-phase
+    DMAs on a shared semaphore, one stacked 4-d DMA (phase-leading and
+    batch-leading layouts), single calls, static-bound fori_loop x50,
+    and dynamic while_loop; input as constant or traced argument. The
+    stride-1 sibling (same scratch/DMA pattern, rank-3 slab) is stable
+    under identical stress. Dispatch is therefore DISABLED
+    (shift_conv.HALO_DOWN_ENABLED, env STORYGEN_HALO_DOWN=1 to
+    re-evaluate on a newer toolchain); strided sites keep the measured
+    im2col/shift-GEMM paths. Interpret-mode numerics + the downconv3x3
+    VJP remain under test so the kernel is ready if Mosaic fixes it."""
     from storygen_tpu.ops.shift_conv import _norm_padding
     b, h, w, cin = x.shape
     kh, kw, _, cout = kernel.shape
@@ -220,8 +249,9 @@ def halo_downconv(x: jax.Array, kernel: jax.Array,
                      (q0, 2 * wo + 2 - w - q0), (0, cinp - cin)))
     phases = [xp[:, r::2, c::2][:, :ho + 1, :wo + 1]
               for r in range(2) for c in range(2)]
-    phases = [jnp.pad(p, ((0, 0), (0, 0), (0, wop - wo - 1), (0, 0)))
-              for p in phases]
+    phases = jnp.stack(
+        [jnp.pad(p, ((0, 0), (0, 0), (0, wop - wo - 1), (0, 0)))
+         for p in phases], axis=1)               # (B, 4, ho+1, wop, cinp)
     w9 = jnp.pad(kernel, ((0, 0), (0, 0), (0, cinp - cin), (0, 0))) \
         .reshape(9, cinp, cout).astype(x.dtype)
     b2 = (bias if bias is not None
@@ -230,7 +260,8 @@ def halo_downconv(x: jax.Array, kernel: jax.Array,
         functools.partial(_down_kernel, bho=bho, wo=wo, cin=cinp,
                           cout=cout, wop=wop),
         grid=(b, ho // bho),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4 + [
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # stacked phases
             pl.BlockSpec((9, cinp, cout), lambda bb, ii: (0, 0, 0)),
             pl.BlockSpec((1, cout), lambda bb, ii: (0, 0)),
         ],
@@ -242,7 +273,7 @@ def halo_downconv(x: jax.Array, kernel: jax.Array,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(*phases, w9, b2)
+    )(phases, w9, b2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

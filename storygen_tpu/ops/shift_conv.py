@@ -31,6 +31,12 @@ import os
 ENABLED = os.environ.get("STORYGEN_SHIFT_CONV", "1") != "0"
 # Ablation escape hatch for the Pallas halo kernel specifically.
 HALO_ENABLED = os.environ.get("STORYGEN_HALO_CONV", "1") != "0"
+# The stride-2 phase-split kernel is QUARANTINED (opt-in): it faults the
+# v5e NONDETERMINISTICALLY (~half of compiled programs, regardless of DMA
+# formulation, operand layout, or loop structure — r4 chip stress runs;
+# see ops/pallas_conv.py::halo_downconv). Interpret-mode numerics and its
+# VJP remain tested; flip on only to re-evaluate on a newer toolchain.
+HALO_DOWN_ENABLED = os.environ.get("STORYGEN_HALO_DOWN", "0") == "1"
 
 
 def _norm_padding(padding, kh: int, kw: int):
@@ -121,6 +127,12 @@ def halo_block_h(x_shape, kernel_size, padding, features: int,
     if padding != "SAME" and _norm_padding(padding, kh, kw) != ((1, 1),
                                                                 (1, 1)):
         return None
+    # narrow-channel sites (VAE/UNet conv_in cin=3, conv_out cout=3..4):
+    # Mosaic lane-pads both C dims to 128, so the kernel computes/DMAs up
+    # to 42x waste — measured 1.7x SLOWER than shift-GEMM at the decoder
+    # conv_out (512x512, 128->3: 8.09 vs 4.73 ms, r4 chip probe)
+    if min(cin, features) < 64:
+        return None
     hw = h * w
     if hw < 64 * 64:
         return None
@@ -143,8 +155,10 @@ def down_halo_block_h(x_shape, kernel_size, strides, padding,
     scripts/studies/bench_down_conv.py measurements per site.
     """
     b, h, w, cin = x_shape
-    if not (HALO_ENABLED and kernel_size == (3, 3)
+    if not (HALO_DOWN_ENABLED and HALO_ENABLED and kernel_size == (3, 3)
             and tuple(strides) == (2, 2)):
+        return None
+    if min(cin, features) < 64:  # lane-padding waste; see halo_block_h
         return None
     pad = _norm_padding(padding, 3, 3)
     (p0, p1), (q0, q1) = pad
