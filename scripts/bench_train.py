@@ -34,7 +34,14 @@ def main():
                     help="Adam moment storage (8bit = optim8bit.adamw_8bit"
                          ", reference bnb AdamW8bit equivalent)")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--ref-encode", default=None,
+                    choices=["map", "unroll", "batched"],
+                    help="in-step ref VAE-encode formulation "
+                         "(sets STORYGEN_REF_ENCODE; default = module "
+                         "default). Only meaningful without --precomputed.")
     args = ap.parse_args()
+    if args.ref_encode:
+        os.environ["STORYGEN_REF_ENCODE"] = args.ref_encode
 
     import jax
     import jax.numpy as jnp

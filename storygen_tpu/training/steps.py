@@ -134,10 +134,10 @@ def make_train_step(unet, vae, text_encoder, sched: S.NoiseSchedule,
                 import os
                 form = os.environ.get("STORYGEN_REF_ENCODE", "batched")
                 if form == "map":
-                    # one ref-group at a time under lax.scan: smallest
-                    # peak HBM, but measured 2.8x slower composed than
-                    # precomputed latents (XLA schedules the scanned
-                    # encoder poorly against the UNet passes; BENCH.md r3)
+                    # one ref-group at a time under lax.map: smallest
+                    # peak HBM. r4 chip measurement: all three forms tie
+                    # at 591-598 ms/step (the r3 944 ms was the encoder
+                    # conv stack, not lax.map scheduling; BENCH.md r4)
                     def enc(args):
                         imgs, key = args
                         return vae.apply(frozen.vae, imgs,
