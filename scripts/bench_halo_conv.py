@@ -61,6 +61,27 @@ def main():
         flops = 2.0 * b * h * h * 9 * cin * cout
         print(f"{name:28} {b:>2} {bh:>3} {t_s*1e3:9.3f} {t_h*1e3:8.3f} "
               f"{flops/t_h/1e12:9.1f} {t_s/t_h:7.2f}x")
+        if os.environ.get("HALO_FUSED"):
+            # resnet operating point: folded GN affine+SiLU in front of
+            # the conv — separate XLA elementwise pass vs the in-kernel
+            # prologue (gnconv path of SConv).
+            a = jnp.abs(jax.random.normal(
+                jax.random.PRNGKey(2), (b, cin), jnp.float32)) + 0.5
+            sft = jax.random.normal(
+                jax.random.PRNGKey(3), (b, cin), jnp.float32) * 0.3
+
+            def unfused(x, w):
+                z = (x.astype(jnp.float32) * a[:, None, None, :]
+                     + sft[:, None, None, :])
+                return halo_conv((z * jax.nn.sigmoid(z)).astype(x.dtype),
+                                 w, block_h=bh)
+
+            t_u = bench(unfused, x, w, iters=300)
+            t_f = bench(lambda x, w: halo_conv(
+                x, w, block_h=bh, prologue=(a, sft)), x, w, iters=300)
+            print(f"{'  +GN-affine+SiLU':28} {b:>2} {bh:>3} "
+                  f"{t_u*1e3:9.3f} {t_f*1e3:8.3f} "
+                  f"{flops/t_f/1e12:9.1f} {t_u/t_f:7.2f}x  (fused)")
 
 
 if __name__ == "__main__":

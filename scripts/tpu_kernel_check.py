@@ -158,6 +158,41 @@ def main():
     results["halo_conv_bwd_relerr"] = cbe
     ok &= cbe < TOL_FWD
 
+    # fused GN-affine+SiLU prologue + per-batch bias (resnet operating
+    # point: gnconv3x3 == silu(x*a+s) -> conv -> +bias_b), fwd + bwd
+    from storygen_tpu.ops.pallas_conv import gnconv3x3
+    kf = jax.random.split(jax.random.PRNGKey(11), 3)
+    af = jnp.abs(jax.random.normal(kf[0], (2, 320), jnp.float32)) + 0.5
+    sf = jax.random.normal(kf[1], (2, 320), jnp.float32) * 0.3
+    b2f = jax.random.normal(kf[2], (2, 320), jnp.float32) * 0.1
+
+    def gn_ref(x, a, s, w, bb):
+        z = (x.astype(jnp.float32) * a[:, None, None, :]
+             + s[:, None, None, :])
+        return (shift_conv((z * jax.nn.sigmoid(z)).astype(x.dtype), w)
+                .astype(jnp.float32) + bb[:, None, None, :])
+
+    got_f = jax.jit(lambda x, a, s, w, bb: gnconv3x3(
+        x, a, s, w, bb.astype(x.dtype), 32))(
+            xc, af, sf, wc, b2f).astype(jnp.float32)
+    want_f = jax.jit(gn_ref)(xc, af, sf, wc, b2f)
+    fe = float(jnp.abs(got_f - want_f).max()
+               / (jnp.abs(want_f).max() + 1e-6))
+    results["gnconv_relerr"] = fe
+    ok &= fe < TOL_FWD
+
+    def _loss5(fn):
+        return jax.grad(lambda *a: (fn(*a) * cot).sum(),
+                        argnums=(0, 1, 2, 3, 4))
+
+    gf = jax.jit(_loss5(lambda x, a, s, w, bb: gnconv3x3(
+        x, a, s, w, bb, 32)))(xg, af, sf, wg, b2f)
+    rf = jax.jit(_loss5(gn_ref))(xg, af, sf, wg, b2f)
+    fbe = max(float(jnp.abs(g - r).max() / (jnp.abs(r).max() + 1e-6))
+              for g, r in zip(gf, rf))
+    results["gnconv_bwd_relerr"] = fbe
+    ok &= fbe < TOL_FWD
+
     # stride-2 phase-split halo kernel, both model padding conventions.
     # QUARANTINED by default: the kernel faults the chip nondeterministically
     # (ops/pallas_conv.py known-fault note) and would kill this gate ~half

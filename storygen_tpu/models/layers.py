@@ -90,9 +90,15 @@ class GroupNorm(nn.Module):
     dtype: Dtype = jnp.float32
     act: Optional[str] = None
     two_pass: bool = False
+    # fold_affine=True returns the folded per-batch per-channel (a, b)
+    # fp32 pair INSTEAD of applying it — the consumer (SConv prologue)
+    # applies silu(x*a + b), fused into the conv kernel's VMEM slab load
+    # at halo-eligible sites so the normalized tensor never reaches HBM.
+    # Only the stats passes run here; `act` is the consumer's job.
+    fold_affine: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array):
         orig_dtype = x.dtype
         c = x.shape[-1]
         b = x.shape[0]
@@ -126,6 +132,8 @@ class GroupNorm(nn.Module):
         inv_c = jnp.repeat(ginv, c // g, axis=1)
         a = inv_c * scale[None]                                    # (B, C)
         bshift = bias[None] - mean_c * a
+        if self.fold_affine:
+            return a, bshift
         bc_shape = (b,) + (1,) * (x.ndim - 2) + (c,)
         y = (x.astype(jnp.float32) * a.reshape(bc_shape)
              + bshift.reshape(bc_shape))
@@ -166,23 +174,32 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array]) -> jax.Array:
+        # GroupNorms run in folded form: they emit per-(batch, channel)
+        # (a, b) and the SiLU-affine is applied by SConv — fused into the
+        # halo conv kernel's VMEM slab at eligible sites, the identical
+        # XLA elementwise pass elsewhere. The temb add rides the conv1
+        # output write as a per-batch bias the same way. Parameter tree
+        # (norm1/2.scale|bias, conv1/2.kernel|bias) is unchanged.
         in_channels = x.shape[-1]
-        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, act="silu",
-                      name="norm1")(x)
-        h = SConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv1")(h)
+        a1, s1 = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                           fold_affine=True, name="norm1")(x)
+        temb_proj = None
         if temb is not None:
             temb_proj = nn.Dense(self.out_channels, dtype=self.dtype,
                                  name="time_emb_proj")(nn.silu(temb))
-            h = h + temb_proj[:, None, None, :]
-        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, act="silu",
-                      name="norm2")(h)
         h = SConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv2")(h)
+                  dtype=self.dtype, name="conv1")(
+                      x, prologue=(a1, s1), extra_bias=temb_proj)
+        a2, s2 = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                           fold_affine=True, name="norm2")(h)
         if in_channels != self.out_channels:
             x = SConv(self.out_channels, (1, 1), padding="VALID",
                         dtype=self.dtype, name="conv_shortcut")(x)
-        return x + h
+        # skip connection rides conv2's output write (halo sites: the
+        # bare conv2 result never exists in HBM)
+        return SConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                     dtype=self.dtype, name="conv2")(
+                         h, prologue=(a2, s2), residual=x)
 
 
 class Downsample2D(nn.Module):

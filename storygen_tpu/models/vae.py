@@ -34,19 +34,23 @@ class VAEResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # Folded GN + SConv prologue: the SiLU-affine fuses into the halo
+        # conv's VMEM slab at eligible sites (the VAE decoder's 512px
+        # stride-1 convs are the biggest halo winners, BENCH.md) — see
+        # models/layers.py::ResnetBlock2D for the pattern.
         in_channels = x.shape[-1]
-        h = GroupNorm(self.groups, 1e-6, dtype=self.dtype, act="silu",
-                      name="norm1")(x)
+        a1, s1 = GroupNorm(self.groups, 1e-6, dtype=self.dtype,
+                           fold_affine=True, name="norm1")(x)
         h = SConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(self.groups, 1e-6, dtype=self.dtype, act="silu",
-                      name="norm2")(h)
-        h = SConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv2")(h)
+                  dtype=self.dtype, name="conv1")(x, prologue=(a1, s1))
+        a2, s2 = GroupNorm(self.groups, 1e-6, dtype=self.dtype,
+                           fold_affine=True, name="norm2")(h)
         if in_channels != self.out_channels:
             x = SConv(self.out_channels, (1, 1), padding="VALID",
                         dtype=self.dtype, name="conv_shortcut")(x)
-        return x + h
+        return SConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                     dtype=self.dtype, name="conv2")(
+                         h, prologue=(a2, s2), residual=x)
 
 
 class VAEAttentionBlock(nn.Module):

@@ -48,36 +48,88 @@ from storygen_tpu.ops.shift_conv import halo_block_h, shift_conv
 VMEM_BUDGET = 14 * 2 ** 20
 
 
-def _kernel(xp_ref, w_ref, b_ref, o_ref, slab, sem, *, bh: int, w: int,
-            cin: int, cout: int):
+def _kernel(xp_ref, w_ref, b_ref, a_ref, s_ref, *rest,
+            bh: int, w: int, cin: int, cout: int, h: int, wp: int,
+            fused: bool, has_res: bool):
+    """Double-buffered slab pipeline: each grid step prefetches the NEXT
+    step's halo slab into the other buffer slot before computing, so the
+    HBM copy overlaps the nine tap-GEMMs. The serial start/wait form left
+    the MXU idle for the full slab-DMA latency every step — measured as
+    most of the L1 sites' 33-39% roofline gap (BENCH.md round 4).
+
+    With `fused`, the per-batch per-channel affine (a, s) + SiLU — the
+    folded GroupNorm epilogue diffusers always puts in front of these
+    convs — is applied to the slab IN VMEM before the tap-GEMMs, masked
+    back to zero at the SAME-padding border rows/cols (silu(s) != 0
+    there). Saves the separate normalize pass's HBM write + read of x.
+    With `has_res`, a residual block streams in through the standard
+    BlockSpec pipeline and is added to the accumulator before the output
+    write — the bare conv result never exists in HBM un-added."""
+    if has_res:
+        r_ref, o_ref, slab, sem = rest
+    else:
+        o_ref, slab, sem = rest
+        r_ref = None
     b = pl.program_id(0)
     i = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        xp_ref.at[b, pl.ds(i * bh, bh + 2)], slab, sem)
-    dma.start()
-    dma.wait()
+    ni = pl.num_programs(1)
+    step = b * ni + i
+    slot = jax.lax.rem(step, 2)
+
+    def _copy(bb, ii, sl):
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, pl.ds(ii * bh, bh + 2)], slab.at[sl], sem.at[sl])
+
+    @pl.when(step == 0)
+    def _():
+        _copy(b, i, slot).start()
+
+    @pl.when(step < pl.num_programs(0) * ni - 1)
+    def _():
+        last_i = i == ni - 1
+        nxt_b = jax.lax.select(last_i, b + 1, b)
+        nxt_i = jax.lax.select(last_i, 0, i + 1)
+        _copy(nxt_b, nxt_i, 1 - slot).start()
+
+    _copy(b, i, slot).wait()
+    if fused:
+        z = (slab[slot].astype(jnp.float32)
+             * a_ref[0, 0].astype(jnp.float32)
+             + s_ref[0, 0].astype(jnp.float32))
+        act = z * jax.nn.sigmoid(z)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp), 0) + i * bh
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp), 1)
+        # f32 multiplicative mask: Mosaic only supports non-no-op minor-
+        # dim insertion for 32-bit types, so a bool `where` mask can't be
+        # broadcast over the lane dim.
+        keep = ((rows >= 1) & (rows <= h) & (cols >= 1)
+                & (cols <= w)).astype(jnp.float32)
+        slab[slot] = (act * keep[:, :, None]).astype(slab.dtype)
     acc = None
     for dx in range(3):
         # one sublane-shifted view per dx; dy slices along the untiled
         # leading dim are free
-        xs3 = slab[:, dx:dx + w, :]
+        xs3 = slab[slot, :, dx:dx + w, :]
         for dy in range(3):
             xs = xs3[dy:dy + bh].reshape(bh * w, cin)
             y = jax.lax.dot_general(
                 xs, w_ref[3 * dy + dx], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc = y if acc is None else acc + y
-    acc = acc + b_ref[0].astype(jnp.float32)
+    acc = acc + b_ref[0, 0].astype(jnp.float32)
+    if has_res:
+        acc = acc + r_ref[0].reshape(bh * w, cout).astype(jnp.float32)
     o_ref[0] = acc.reshape(bh, w, cout).astype(o_ref.dtype)
 
 
 def pick_block_h(h: int, w: int, cin: int, cout: int,
-                 itemsize: int = 2) -> Optional[int]:
+                 itemsize: int = 2, residual: bool = False) -> Optional[int]:
     """Largest row-slab height whose working set fits the VMEM budget.
 
-    Working set: halo slab + one dx-shifted view + full weights + double-
-    buffered output block + fp32 accumulator. Returns None if no slab
-    height fits (caller falls back to shift-GEMM).
+    Working set: two halo slab slots (the input DMA is double-buffered)
+    + one dx-shifted view + full weights + double-buffered output block
+    + fp32 accumulator. Returns None if no slab height fits (caller
+    falls back to shift-GEMM).
 
     Mosaic lane-pads the LAST dim of every VMEM buffer to 128, so cout
     must be charged at its padded width — the r3 bench OOM'd exactly here
@@ -90,11 +142,13 @@ def pick_block_h(h: int, w: int, cin: int, cout: int,
     for bh in (32, 16, 8):
         if h % bh:
             continue
-        need = ((bh + 2) * wp * cinp * itemsize          # slab
+        need = (2 * (bh + 2) * wp * cinp * itemsize      # 2 slab slots
                 + (bh + 2) * w * cinp * itemsize         # live dx view
                 + 9 * cinp * coutp * itemsize            # weights
                 + 2 * bh * w * coutp * itemsize          # out blocks
                 + bh * w * coutp * 4)                    # fp32 acc
+        if residual:
+            need += 2 * bh * w * coutp * itemsize        # res in-blocks
         if need <= VMEM_BUDGET:
             return bh
     return None
@@ -103,11 +157,24 @@ def pick_block_h(h: int, w: int, cin: int, cout: int,
 def halo_conv(x: jax.Array, kernel: jax.Array,
               bias: Optional[jax.Array] = None,
               block_h: Optional[int] = None,
-              interpret: bool = False) -> jax.Array:
+              interpret: bool = False,
+              prologue: Optional[tuple] = None,
+              residual: Optional[jax.Array] = None) -> jax.Array:
     """3x3 stride-1 SAME conv, NHWC, kernel HWIO — forward only.
 
     Requires H % block_h == 0 (pick_block_h guarantees it). Accumulates
     in fp32, returns x.dtype.
+
+    `bias` may be (Cout,) shared or (B, Cout) per-batch — the latter
+    folds the resnet time-embedding add (h + temb_proj[:, None, None])
+    into the output write instead of a separate HBM pass.
+    `prologue=(a, s)`, each (B, Cin) fp32, applies silu(x*a + s) to the
+    slab in VMEM before the tap-GEMMs (the folded GroupNorm+SiLU that
+    precedes every diffusers resnet conv) — the conv then reads RAW x
+    from HBM and the normalized tensor never exists there.
+    `residual` (B, H, W, Cout) is added to the output inside the kernel
+    (the resnet skip connection) — one HBM read instead of the separate
+    add pass's read + read + write.
     """
     b, h, w, cin = x.shape
     kh, kw, _, cout = kernel.shape
@@ -124,25 +191,55 @@ def halo_conv(x: jax.Array, kernel: jax.Array,
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - w - 1), (0, cinp - cin)))
     w9 = jnp.pad(kernel, ((0, 0), (0, 0), (0, cinp - cin), (0, 0))) \
         .reshape(9, cinp, cout).astype(x.dtype)
-    b2 = (bias if bias is not None
-          else jnp.zeros((cout,), x.dtype)).reshape(1, cout)
+    # Per-batch vectors ride as (N, 1, C) with block (1, 1, C): Mosaic
+    # requires the block's last two dims to be tile-divisible OR equal to
+    # the array dims — (1, C) blocks over an (N, C) array violate the
+    # sublane rule whenever N > 1.
+    if bias is None:
+        b2 = jnp.zeros((1, 1, cout), x.dtype)
+    else:
+        b2 = bias.reshape(-1, 1, cout)      # (1|B, 1, Cout)
+    bias_ix = (lambda bb, ii: (bb, 0, 0)) if b2.shape[0] == b \
+        else (lambda bb, ii: (0, 0, 0))
+    if prologue is not None:
+        a, s = prologue
+        a2 = jnp.pad(a.astype(jnp.float32).reshape(b, 1, cin),
+                     ((0, 0), (0, 0), (0, cinp - cin)))
+        s2 = jnp.pad(s.astype(jnp.float32).reshape(b, 1, cin),
+                     ((0, 0), (0, 0), (0, cinp - cin)))
+    else:
+        # dummies (never read: `fused` is static)
+        a2 = jnp.zeros((1, 1, cinp), jnp.float32)
+        s2 = jnp.zeros((1, 1, cinp), jnp.float32)
+    aff_ix = (lambda bb, ii: (bb, 0, 0)) if a2.shape[0] == b \
+        else (lambda bb, ii: (0, 0, 0))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),             # xp stays in HBM
+        pl.BlockSpec((9, cinp, cout), lambda bb, ii: (0, 0, 0)),
+        pl.BlockSpec((1, 1, cout), bias_ix),
+        pl.BlockSpec((1, 1, cinp), aff_ix),
+        pl.BlockSpec((1, 1, cinp), aff_ix),
+    ]
+    args = [xp, w9, b2, a2, s2]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((1, bh, w, cout),
+                                     lambda bb, ii: (bb, ii, 0, 0)))
+        args.append(residual)
     return pl.pallas_call(
-        functools.partial(_kernel, bh=bh, w=w, cin=cinp, cout=cout),
+        functools.partial(_kernel, bh=bh, w=w, cin=cinp, cout=cout, h=h,
+                          wp=wp, fused=prologue is not None,
+                          has_res=residual is not None),
         grid=(b, h // bh),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),         # xp stays in HBM
-            pl.BlockSpec((9, cinp, cout), lambda bb, ii: (0, 0, 0)),
-            pl.BlockSpec((1, cout), lambda bb, ii: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bh, w, cout),
                                lambda bb, ii: (bb, ii, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2, wp, cinp), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, bh + 2, wp, cinp), x.dtype),  # double-buffered
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, w9, b2)
+    )(*args)
 
 
 def _down_kernel(ph_ref, w_ref, b_ref, o_ref, slab, sem, *, bho: int,
@@ -318,11 +415,11 @@ def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array,
 
 def _conv3x3_fwd(x, kernel, bias, block_h, interpret):
     return (halo_conv(x, kernel, bias, block_h=block_h,
-                      interpret=interpret), (x, kernel))
+                      interpret=interpret), (x, kernel, bias.ndim))
 
 
 def _conv3x3_bwd(block_h, interpret, res, g):
-    x, kernel = res
+    x, kernel, bias_ndim = res
     del block_h
     # dL/dx: correlate g with the spatially flipped, io-transposed kernel
     # (transpose-conv of a stride-1 SAME 3x3 is itself a SAME 3x3 conv) —
@@ -351,8 +448,109 @@ def _conv3x3_bwd(block_h, interpret, res, g):
                 xs, gf, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
     dw = jnp.stack(dws).reshape(3, 3, cin, cout).astype(kernel.dtype)
-    db = g.sum((0, 1, 2)).astype(jnp.float32).astype(g.dtype)
+    db_axes = (1, 2) if bias_ndim == 2 else (0, 1, 2)
+    db = g.sum(db_axes).astype(jnp.float32).astype(g.dtype)
     return dx.astype(x.dtype), dw, db
 
 
 conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def gnconv3x3(x: jax.Array, a: jax.Array, s: jax.Array,
+              kernel: jax.Array, bias: jax.Array,
+              block_h: Optional[int] = None,
+              interpret: bool = False) -> jax.Array:
+    """Differentiable fused GroupNorm-affine+SiLU+3x3-conv.
+
+    Computes conv3x3(silu(x * a + s)) with the affine+SiLU applied to
+    the halo slab in VMEM (halo_conv prologue) — the normalized tensor
+    never exists in HBM. `a`, `s` are the folded per-batch per-channel
+    GroupNorm scale/shift (models/layers.py::GroupNorm fold_affine);
+    `bias` is (Cout,) or (B, Cout) (the latter folds the resnet temb
+    add). Matches GN(x)->SiLU->Conv2d of diffusers ResnetBlock2D
+    (/root/reference/model/unet_2d_blocks.py:5 via resnet.py) exactly.
+    """
+    return halo_conv(x, kernel, bias, block_h=block_h,
+                     interpret=interpret, prologue=(a, s))
+
+
+def _gnconv3x3_fwd(x, a, s, kernel, bias, block_h, interpret):
+    return (gnconv3x3(x, a, s, kernel, bias, block_h, interpret),
+            (x, a, s, kernel, bias.ndim))
+
+
+def _gnconv3x3_bwd(block_h, interpret, res, g):
+    """Backward in XLA ops: recompute act = silu(x*a + s) once (fp32),
+    chain dL/dact through the flipped-kernel correlation (halo where
+    eligible), then the SiLU-affine local derivative."""
+    x, a, s, kernel, bias_ndim = res
+    b, h, w, cin = x.shape
+    cout = g.shape[-1]
+    bshape = (b, 1, 1, cin)
+    z = (x.astype(jnp.float32) * a.astype(jnp.float32).reshape(bshape)
+         + s.astype(jnp.float32).reshape(bshape))
+    sig = jax.nn.sigmoid(z)
+    act32 = z * sig
+    dsilu = sig * (1.0 + z * (1.0 - sig))          # d silu(z)/dz
+    # dL/dact: correlate g with the flipped, io-transposed kernel (same
+    # formulation as _conv3x3_bwd's dx path).
+    k_flip = (kernel[::-1, ::-1].transpose(0, 1, 3, 2)).astype(g.dtype)
+    bh_g = halo_block_h(g.shape, (3, 3), "SAME", cin, g.dtype.itemsize)
+    if bh_g is not None:
+        dact = halo_conv(g, k_flip, block_h=bh_g, interpret=interpret)
+    else:
+        dact = shift_conv(g, k_flip)
+    dz = dact.astype(jnp.float32) * dsilu
+    dx = (dz * a.astype(jnp.float32).reshape(bshape)).astype(x.dtype)
+    da = (dz * x.astype(jnp.float32)).sum((1, 2)).astype(a.dtype)
+    ds = dz.sum((1, 2)).astype(s.dtype)
+    # dL/dw[t]: tap-slice(act_pad)^T . g — contraction over B*H*W.
+    act = act32.astype(x.dtype)
+    ap = jnp.pad(act, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    gf = g.reshape(b * h * w, cout)
+    dws = []
+    for dy in range(3):
+        for dxx in range(3):
+            xs = jax.lax.slice(
+                ap, (0, dy, dxx, 0),
+                (b, dy + h, dxx + w, cin)).reshape(b * h * w, cin)
+            dws.append(jax.lax.dot_general(
+                xs, gf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    dw = jnp.stack(dws).reshape(3, 3, cin, cout).astype(kernel.dtype)
+    db_axes = (1, 2) if bias_ndim == 2 else (0, 1, 2)
+    db = g.sum(db_axes).astype(jnp.float32).astype(g.dtype)
+    return dx, da, ds, dw, db
+
+
+gnconv3x3.defvjp(_gnconv3x3_fwd, _gnconv3x3_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def gnconvres3x3(x: jax.Array, a: jax.Array, s: jax.Array,
+                 kernel: jax.Array, bias: jax.Array, residual: jax.Array,
+                 block_h: Optional[int] = None,
+                 interpret: bool = False) -> jax.Array:
+    """gnconv3x3 + in-kernel residual add (the resnet skip): computes
+    conv3x3(silu(x*a + s)) + bias + residual with the residual streamed
+    through the kernel's BlockSpec pipeline — the bare conv output never
+    round-trips HBM for the skip-connection add."""
+    return halo_conv(x, kernel, bias, block_h=block_h,
+                     interpret=interpret, prologue=(a, s),
+                     residual=residual)
+
+
+def _gnconvres3x3_fwd(x, a, s, kernel, bias, residual, block_h, interpret):
+    return (gnconvres3x3(x, a, s, kernel, bias, residual, block_h,
+                         interpret),
+            (x, a, s, kernel, bias.ndim))
+
+
+def _gnconvres3x3_bwd(block_h, interpret, res, g):
+    # identical to _gnconv3x3_bwd plus d(residual) = g (identity add)
+    grads = _gnconv3x3_bwd(block_h, interpret, res, g)
+    return grads + (g,)
+
+
+gnconvres3x3.defvjp(_gnconvres3x3_fwd, _gnconvres3x3_bwd)

@@ -111,7 +111,7 @@ def _on_tpu() -> bool:
 
 
 def halo_block_h(x_shape, kernel_size, padding, features: int,
-                 itemsize: int):
+                 itemsize: int, residual: bool = False):
     """Halo-kernel eligibility for a stride-1 conv site: the slab height
     to use, or None to stay on shift-GEMM.
 
@@ -141,7 +141,7 @@ def halo_block_h(x_shape, kernel_size, padding, features: int,
     if 64 * 64 < hw <= 128 * 128 and cin >= 512:
         return None
     from storygen_tpu.ops.pallas_conv import pick_block_h
-    return pick_block_h(h, w, cin, features, itemsize)
+    return pick_block_h(h, w, cin, features, itemsize, residual=residual)
 
 
 def down_halo_block_h(x_shape, kernel_size, strides, padding,
@@ -191,24 +191,80 @@ class SConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 prologue: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 extra_bias: Optional[jax.Array] = None,
+                 residual: Optional[jax.Array] = None) -> jax.Array:
+        """`prologue=(a, s)` — per-batch per-channel fp32 affine + SiLU
+        (a folded GroupNorm, models/layers.py::GroupNorm fold_affine)
+        applied to x BEFORE the conv: at halo-eligible 3x3 stride-1
+        sites it fuses into the kernel's VMEM slab load (the normalized
+        tensor never reaches HBM); everywhere else it is applied as the
+        same XLA elementwise pass GroupNorm would have emitted.
+        `extra_bias` (B, Cout) adds per-batch output bias (the resnet
+        temb term) — folded into the kernel's output write at halo
+        sites, a plain (XLA-fused) add elsewhere.
+        `residual` (B, Ho, Wo, Cout) adds the resnet skip tensor to the
+        output — streamed through the halo kernel's output pipeline at
+        fused sites, a plain add elsewhere."""
         kh, kw = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        x = x.astype(self.dtype)
+        x_raw = x
+
+        def _apply_prologue(xx: jax.Array) -> jax.Array:
+            if prologue is None:
+                return xx.astype(self.dtype)
+            a, s = prologue
+            bsh = (xx.shape[0],) + (1,) * (xx.ndim - 2) + (xx.shape[-1],)
+            z = (xx.astype(jnp.float32) * a.astype(jnp.float32).reshape(bsh)
+                 + s.astype(jnp.float32).reshape(bsh))
+            return (z * jax.nn.sigmoid(z)).astype(self.dtype)
+
+        def _add_extra(y: jax.Array) -> jax.Array:
+            if extra_bias is not None:
+                y = (y + extra_bias[:, None, None, :].astype(y.dtype)) \
+                    .astype(self.dtype)
+            if residual is not None:
+                y = y + residual  # jnp promotion — matches the unfused
+            return y              # `skip + h` the resnet used to emit
+
         k = kernel.astype(self.dtype)
         bc = bias.astype(self.dtype)
         sh, sw = ((self.strides, self.strides)
                   if isinstance(self.strides, int) else self.strides)
+        if (ENABLED and _on_tpu() and sh == sw == 1 and (kh, kw) == (3, 3)):
+            # Try the fused halo path FIRST, on the RAW input: eligibility
+            # uses the incoming dtype (the kernel DMAs x as-is).
+            bh_f = halo_block_h(x_raw.shape, (kh, kw), self.padding,
+                                self.features, x_raw.dtype.itemsize,
+                                residual=residual is not None)
+            if bh_f is not None:
+                beff = bc if extra_bias is None \
+                    else (bc[None] + extra_bias.astype(self.dtype))
+                from storygen_tpu.ops.pallas_conv import (conv3x3,
+                                                          gnconv3x3,
+                                                          gnconvres3x3)
+                if prologue is not None and residual is not None:
+                    a, s = prologue
+                    return gnconvres3x3(x_raw, a, s, k, beff,
+                                        residual.astype(self.dtype), bh_f)
+                if prologue is not None:
+                    a, s = prologue
+                    return gnconv3x3(x_raw, a, s, k, beff, bh_f)
+                y = conv3x3(x_raw.astype(self.dtype), k, beff, bh_f)
+                return y if residual is None else y + residual
+        x = _apply_prologue(x)
         if ENABLED and _on_tpu():
             if kh == 1 and kw == 1 and sh == sw == 1:
                 y = jax.lax.dot_general(
                     x, k[0, 0], (((3,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                return (y + bc.astype(jnp.float32)).astype(self.dtype)
+                return _add_extra(
+                    (y + bc.astype(jnp.float32)).astype(self.dtype))
             if sh > 1 or sw > 1:
                 dn = down_halo_block_h(x.shape, (kh, kw), (sh, sw),
                                        self.padding, self.features,
@@ -220,7 +276,7 @@ class SConv(nn.Module):
                     # 64x64 UNet downsample, scripts/roofline_conv.py).
                     from storygen_tpu.ops.pallas_conv import downconv3x3
                     bho, pad = dn
-                    return downconv3x3(x, k, bc, pad, bho)
+                    return _add_extra(downconv3x3(x, k, bc, pad, bho))
                 # im2col materializes a (B, Ho, Wo, Kh*Kw*Cin) patch
                 # tensor; it wins at the UNet's small-spatial strided
                 # sites but the extra HBM pass loses once that tensor is
@@ -229,7 +285,8 @@ class SConv(nn.Module):
                 b_, h_, w_ = x.shape[0], x.shape[1] // sh, x.shape[2] // sw
                 cols_bytes = b_ * h_ * w_ * kh * kw * cin * x.dtype.itemsize
                 if cols_bytes <= 64 * 2 ** 20:
-                    return im2col_conv(x, k, bc, (sh, sw), self.padding)
+                    return _add_extra(
+                        im2col_conv(x, k, bc, (sh, sw), self.padding))
             else:
                 bh = halo_block_h(x.shape, (kh, kw), self.padding,
                                   self.features, x.dtype.itemsize)
@@ -243,12 +300,13 @@ class SConv(nn.Module):
                     # kernel, so they stay on the dot_general path
                     # (measurements: scripts/bench_halo_conv.py).
                     from storygen_tpu.ops.pallas_conv import conv3x3
-                    return conv3x3(x, k, bc, bh)
-                return shift_conv(x, k, bc, (sh, sw), self.padding)
+                    return _add_extra(conv3x3(x, k, bc, bh))
+                return _add_extra(
+                    shift_conv(x, k, bc, (sh, sw), self.padding))
         pad = self.padding
         if pad not in ("SAME", "VALID"):
             pad = tuple((int(a), int(b)) for a, b in pad)
         y = jax.lax.conv_general_dilated(
             x, k, (sh, sw), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + bc
+        return _add_extra(y + bc)

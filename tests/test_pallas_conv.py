@@ -162,3 +162,121 @@ def test_pick_block_h_rejects_oversize():
     # 512px VAE-scale site: no slab height fits the VMEM budget together
     # with full weights at these channel counts
     assert pick_block_h(512, 512, 512, 512) is None
+
+
+# ---- fused GroupNorm-affine+SiLU prologue + per-batch bias (round 4) ----
+
+def _silu_affine(x, a, s):
+    bsh = (x.shape[0], 1, 1, x.shape[-1])
+    z = (x.astype(jnp.float32) * a.astype(jnp.float32).reshape(bsh)
+         + s.astype(jnp.float32).reshape(bsh))
+    return (z * jax.nn.sigmoid(z)).astype(x.dtype)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 16, 16, 24, 16, 8),    # multi-slab, multi-batch
+    (1, 32, 16, 8, 8, 16),     # tall
+    (1, 8, 8, 12, 8, 8),       # single slab == whole image
+])
+def test_halo_conv_prologue_matches_unfused(shape):
+    # silu(s) != 0, so the in-kernel border masking is load-bearing: any
+    # unmasked SAME-pad position would poison the tap-GEMMs.
+    b, h, w, cin, cout, bh = shape
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+    a = jnp.asarray(rng.rand(b, cin) + 0.5, jnp.float32)
+    s = jnp.asarray(rng.randn(b, cin), jnp.float32)
+    y = halo_conv(x, k, bias, block_h=bh, interpret=True, prologue=(a, s))
+    ref = shift_conv(_silu_affine(x, a, s), k, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
+def test_halo_conv_per_batch_bias():
+    rng = np.random.RandomState(8)
+    b, h, w, cin, cout = 3, 16, 8, 8, 16
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.randn(b, cout), jnp.float32)  # per-batch (temb)
+    y = halo_conv(x, k, b2, block_h=8, interpret=True)
+    ref = shift_conv(x, k) + b2[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
+def test_gnconv3x3_grads_match_unfused():
+    from storygen_tpu.ops.pallas_conv import gnconv3x3
+    rng = np.random.RandomState(9)
+    b, h, w, cin, cout = 2, 16, 8, 8, 8
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(cout) * 0.1, jnp.float32)
+    a = jnp.asarray(rng.rand(b, cin) + 0.5, jnp.float32)
+    s = jnp.asarray(rng.randn(b, cin) * 0.3, jnp.float32)
+    g = jnp.asarray(rng.randn(b, h, w, cout), jnp.float32)
+
+    def grads(fn):
+        return jax.grad(lambda *args: (fn(*args) * g).sum(),
+                        argnums=(0, 1, 2, 3, 4))
+
+    got = grads(lambda x, a, s, k, bb: gnconv3x3(x, a, s, k, bb, 8, True))(
+        x, a, s, k, bias)
+    ref = grads(lambda x, a, s, k, bb: shift_conv(
+        _silu_affine(x, a, s), k, bb))(x, a, s, k, bias)
+    for gg, rr, name in zip(got, ref, "x a s k bias".split()):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rr),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_gnconv3x3_per_batch_bias_grad():
+    from storygen_tpu.ops.pallas_conv import gnconv3x3
+    rng = np.random.RandomState(10)
+    b, h, w, c = 2, 8, 8, 8
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, c, c) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.randn(b, c), jnp.float32)
+    a = jnp.asarray(rng.rand(b, c) + 0.5, jnp.float32)
+    s = jnp.asarray(rng.randn(b, c) * 0.3, jnp.float32)
+    g = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    gb = jax.grad(lambda bb: (gnconv3x3(x, a, s, k, bb, 8, True)
+                              * g).sum())(b2)
+    rb = jax.grad(lambda bb: ((shift_conv(_silu_affine(x, a, s), k)
+                               + bb[:, None, None, :]) * g).sum())(b2)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=2e-5)
+
+
+def test_halo_conv_residual_matches_unfused():
+    rng = np.random.RandomState(11)
+    b, h, w, cin, cout = 2, 16, 8, 8, 16
+    x = jnp.asarray(rng.randn(b, h, w, cin), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.1, jnp.float32)
+    r = jnp.asarray(rng.randn(b, h, w, cout), jnp.float32)
+    y = halo_conv(x, k, block_h=8, interpret=True, residual=r)
+    ref = shift_conv(x, k) + r
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
+def test_gnconvres3x3_full_fusion_grads():
+    # the resnet conv2 operating point: prologue + residual, all grads
+    from storygen_tpu.ops.pallas_conv import gnconvres3x3
+    rng = np.random.RandomState(12)
+    b, h, w, c = 2, 16, 8, 8
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, c, c) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    a = jnp.asarray(rng.rand(b, c) + 0.5, jnp.float32)
+    s = jnp.asarray(rng.randn(b, c) * 0.3, jnp.float32)
+    r = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    g = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+
+    def grads(fn):
+        return jax.grad(lambda *args: (fn(*args) * g).sum(),
+                        argnums=(0, 1, 2, 3, 4, 5))
+
+    got = grads(lambda *args: gnconvres3x3(*args, 8, True))(
+        x, a, s, k, bias, r)
+    ref = grads(lambda x, a, s, k, bb, r: shift_conv(
+        _silu_affine(x, a, s), k, bb) + r)(x, a, s, k, bias, r)
+    for gg, rr, name in zip(got, ref, "x a s k bias res".split()):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rr),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)

@@ -85,3 +85,35 @@ def test_strided_shapes():
     k = jnp.zeros((3, 3, 8, 16))
     for fn in (SC.shift_conv, SC.im2col_conv):
         assert fn(x, k, None, 2, ((1, 1), (1, 1))).shape == (1, 32, 32, 16)
+
+
+def test_sconv_prologue_and_extra_bias_fallback():
+    # CPU path: prologue applied as the XLA silu-affine, extra_bias as a
+    # per-batch add — must equal GroupNorm-style silu(x*a+s) -> conv -> +eb.
+    rng = jax.random.PRNGKey(2)
+    b, c, co = 2, 6, 7
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, 8, 8, c))
+    a = jax.random.uniform(jax.random.PRNGKey(4), (b, c)) + 0.5
+    s = jax.random.normal(jax.random.PRNGKey(5), (b, c)) * 0.3
+    eb = jax.random.normal(jax.random.PRNGKey(6), (b, co))
+    m = SC.SConv(co, (3, 3), padding=((1, 1), (1, 1)), name="conv")
+    p = m.init(rng, x)
+    got = m.apply(p, x, prologue=(a, s), extra_bias=eb)
+    z = (x * a[:, None, None, :] + s[:, None, None, :])
+    ref = m.apply(p, z * jax.nn.sigmoid(z)) + eb[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_groupnorm_fold_affine_matches_direct():
+    from storygen_tpu.models.layers import GroupNorm
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 8)) * 3 + 1
+    direct = GroupNorm(num_groups=4, act="silu")
+    folded = GroupNorm(num_groups=4, fold_affine=True)
+    p = direct.init(jax.random.PRNGKey(8), x)
+    a, s = folded.apply(p, x)
+    assert a.shape == (2, 8) and s.shape == (2, 8)
+    z = x * a[:, None, None, :] + s[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(z * jax.nn.sigmoid(z)),
+                               np.asarray(direct.apply(p, x)),
+                               rtol=1e-5, atol=1e-5)
