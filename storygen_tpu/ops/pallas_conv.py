@@ -42,10 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 from storygen_tpu.ops.shift_conv import halo_block_h, shift_conv
 
 # v5e VMEM is ~16 MB/core; leave headroom for Mosaic's own buffers. The
-# budget model is truthful since r4 (lane-padded cout), so less slack is
-# needed than the old 12M: the model over-predicted the one measured OOM
-# by only 2.7% (24.85M predicted vs 24.18M real scoped alloc).
-VMEM_BUDGET = 14 * 2 ** 20
+# budget model is truthful since r4 (lane-padded cout; fused-prologue
+# temporaries bounded by row-chunking and charged explicitly): the model
+# over-predicted the one measured OOM by only 2.7% (24.85M predicted vs
+# 24.18M real scoped alloc), and the chip-probed fused L1/VAE sites sit
+# 13.7-15.0M modeled and run — so 15M of the 16M limit is safe margin.
+VMEM_BUDGET = 15 * 2 ** 20
 
 
 def _kernel(xp_ref, w_ref, b_ref, a_ref, s_ref, *rest,
@@ -93,37 +95,74 @@ def _kernel(xp_ref, w_ref, b_ref, a_ref, s_ref, *rest,
 
     _copy(b, i, slot).wait()
     if fused:
-        z = (slab[slot].astype(jnp.float32)
-             * a_ref[0, 0].astype(jnp.float32)
-             + s_ref[0, 0].astype(jnp.float32))
-        act = z * jax.nn.sigmoid(z)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp), 0) + i * bh
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp), 1)
-        # f32 multiplicative mask: Mosaic only supports non-no-op minor-
-        # dim insertion for 32-bit types, so a bool `where` mask can't be
-        # broadcast over the lane dim.
-        keep = ((rows >= 1) & (rows <= h) & (cols >= 1)
-                & (cols <= w)).astype(jnp.float32)
-        slab[slot] = (act * keep[:, :, None]).astype(slab.dtype)
-    acc = None
-    for dx in range(3):
-        # one sublane-shifted view per dx; dy slices along the untiled
-        # leading dim are free
-        xs3 = slab[slot, :, dx:dx + w, :]
-        for dy in range(3):
-            xs = xs3[dy:dy + bh].reshape(bh * w, cin)
-            y = jax.lax.dot_general(
-                xs, w_ref[3 * dy + dx], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = y if acc is None else acc + y
-    acc = acc + b_ref[0, 0].astype(jnp.float32)
-    if has_res:
-        acc = acc + r_ref[0].reshape(bh * w, cout).astype(jnp.float32)
-    o_ref[0] = acc.reshape(bh, w, cout).astype(o_ref.dtype)
+        a32 = a_ref[0, 0].astype(jnp.float32)
+        s32 = s_ref[0, 0].astype(jnp.float32)
+        # CHUNKED over slab rows: the whole-slab form materialized ~3
+        # fp32 slab-sized temporaries (z, sigmoid, masked act) on the
+        # Mosaic stack — measured scoped alloc exceeded the picker's
+        # model by 2.94x the fp32 slab size and OOM'd the VAE-encoder
+        # 256px site (B3 128->256: 18.82M real vs 12.01M modeled, r4).
+        # Bounding the live temporaries to PRO_CHUNK rows keeps the
+        # fused path's VMEM overhead ~2M at any site; the leading slab
+        # dim is untiled so row slices are free.
+        ck = _prologue_chunk(wp, cin)
+        for c0 in range(0, bh + 2, ck):
+            rc = min(ck, bh + 2 - c0)
+            z = slab[slot, c0:c0 + rc].astype(jnp.float32) * a32 + s32
+            act = z * jax.nn.sigmoid(z)
+            rows = (jax.lax.broadcasted_iota(jnp.int32, (rc, wp), 0)
+                    + i * bh + c0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (rc, wp), 1)
+            # f32 multiplicative mask: Mosaic only supports non-no-op
+            # minor-dim insertion for 32-bit types, so a bool `where`
+            # mask can't be broadcast over the lane dim.
+            keep = ((rows >= 1) & (rows <= h) & (cols >= 1)
+                    & (cols <= w)).astype(jnp.float32)
+            slab[slot, c0:c0 + rc] = (act * keep[:, :, None]) \
+                .astype(slab.dtype)
+    # Tile the accumulation over <=128-wide cout stripes: the fp32 tap
+    # product y and the accumulator live SIMULTANEOUSLY on the Mosaic
+    # stack (plus the output-cast temp), so at wide-cout sites the
+    # untiled form's fp32 working set is ~3x bh*w*coutp*4 — the r4
+    # quality run OOM'd exactly there (VAE enc 256px cout 256: 18.8M
+    # scoped vs 12.0M modeled). 128 stripes keep the MXU at full lane
+    # width; the dx sublane-shifted views are re-sliced per stripe
+    # (VMEM-bandwidth cheap vs the 9 GEMMs).
+    csz = min(cout, 128)
+    for ct in range(0, cout, csz):
+        cw = min(csz, cout - ct)
+        acc = None
+        for dx in range(3):
+            # one sublane-shifted view per dx; dy slices along the
+            # untiled leading dim are free
+            xs3 = slab[slot, :, dx:dx + w, :]
+            for dy in range(3):
+                xs = xs3[dy:dy + bh].reshape(bh * w, cin)
+                y = jax.lax.dot_general(
+                    xs, w_ref[3 * dy + dx, :, ct:ct + cw],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = y if acc is None else acc + y
+        acc = acc + b_ref[0, 0, ct:ct + cw].astype(jnp.float32)
+        if has_res:
+            acc = acc + r_ref[0, :, :, ct:ct + cw] \
+                .reshape(bh * w, cw).astype(jnp.float32)
+        o_ref[0, :, :, ct:ct + cw] = \
+            acc.reshape(bh, w, cw).astype(o_ref.dtype)
+
+
+def _prologue_chunk(wp: int, cin: int) -> int:
+    """Row-chunk height for the fused prologue: the largest multiple-of-2
+    row count whose ~3 fp32 (rc, wp, cinp) temporaries stay under 1 MB.
+    Static — both the kernel loop and the VMEM charge use it."""
+    cinp = cin + (-cin) % 128
+    per_row = 3 * wp * cinp * 4
+    return max(2, (2 ** 20 // per_row) & ~1)
 
 
 def pick_block_h(h: int, w: int, cin: int, cout: int,
-                 itemsize: int = 2, residual: bool = False) -> Optional[int]:
+                 itemsize: int = 2, residual: bool = False,
+                 fused: bool = False) -> Optional[int]:
     """Largest row-slab height whose working set fits the VMEM budget.
 
     Working set: two halo slab slots (the input DMA is double-buffered)
@@ -135,6 +174,10 @@ def pick_block_h(h: int, w: int, cin: int, cout: int,
     must be charged at its padded width — the r3 bench OOM'd exactly here
     (VAE conv_out, cout 3: real scoped alloc 24.18M at bh=32 vs an 8.9M
     raw-cout estimate; the padded model predicts 24.85M).
+
+    `fused` charges the prologue's fp32 row-chunk temporaries (~2 MB by
+    construction, see _prologue_chunk) — the unchunked form's ~3 full
+    fp32 slabs OOM'd the VAE-encoder 256px site in r4's quality run.
     """
     wp = w + 2 + (-(w + 2)) % 8
     cinp = cin + (-cin) % 128
@@ -142,13 +185,18 @@ def pick_block_h(h: int, w: int, cin: int, cout: int,
     for bh in (32, 16, 8):
         if h % bh:
             continue
+        ctile = min(coutp, 128)
         need = (2 * (bh + 2) * wp * cinp * itemsize      # 2 slab slots
                 + (bh + 2) * w * cinp * itemsize         # live dx view
                 + 9 * cinp * coutp * itemsize            # weights
                 + 2 * bh * w * coutp * itemsize          # out blocks
-                + bh * w * coutp * 4)                    # fp32 acc
+                + 2 * bh * w * ctile * 4                 # fp32 acc + tap y
+                + bh * w * ctile * itemsize)             # out-cast temp
         if residual:
             need += 2 * bh * w * coutp * itemsize        # res in-blocks
+        if fused:
+            ck = min(_prologue_chunk(wp, cin), bh + 2)
+            need += 3 * ck * wp * cinp * 4               # prologue temps
         if need <= VMEM_BUDGET:
             return bh
     return None

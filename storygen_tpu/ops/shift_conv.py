@@ -111,7 +111,8 @@ def _on_tpu() -> bool:
 
 
 def halo_block_h(x_shape, kernel_size, padding, features: int,
-                 itemsize: int, residual: bool = False):
+                 itemsize: int, residual: bool = False,
+                 fused: bool = False):
     """Halo-kernel eligibility for a stride-1 conv site: the slab height
     to use, or None to stay on shift-GEMM.
 
@@ -141,7 +142,8 @@ def halo_block_h(x_shape, kernel_size, padding, features: int,
     if 64 * 64 < hw <= 128 * 128 and cin >= 512:
         return None
     from storygen_tpu.ops.pallas_conv import pick_block_h
-    return pick_block_h(h, w, cin, features, itemsize, residual=residual)
+    return pick_block_h(h, w, cin, features, itemsize, residual=residual,
+                        fused=fused)
 
 
 def down_halo_block_h(x_shape, kernel_size, strides, padding,
@@ -241,7 +243,8 @@ class SConv(nn.Module):
             # uses the incoming dtype (the kernel DMAs x as-is).
             bh_f = halo_block_h(x_raw.shape, (kh, kw), self.padding,
                                 self.features, x_raw.dtype.itemsize,
-                                residual=residual is not None)
+                                residual=residual is not None,
+                                fused=prologue is not None)
             if bh_f is not None:
                 beff = bc if extra_bias is None \
                     else (bc[None] + extra_bias.astype(self.dtype))
