@@ -158,9 +158,9 @@ def test_service_with_tp_sharded_params():
     pipe_tp = StoryGenPipeline(unet, unet_tp, vae, vae_r, clip, clip_r,
                                fake_tok)
     svc = StoryService(pipe_tp)
-    out = svc.generate({"prompts": ["a fox", "a lantern"],
-                        "num_inference_steps": 2, "height": 64,
-                        "width": 64, "seed": 3})
-    assert len(out["frames_b64"]) == 2
-    img = _decode_png(out["frames_b64"][0])
+    out = svc.handle_story({"prompts": ["a fox", "a lantern"],
+                            "num_inference_steps": 2, "height": 64,
+                            "width": 64, "seed": 3})
+    assert len(out["frames"]) == 2
+    img = _decode_png(out["frames"][0])
     assert img.shape == (64, 64, 3)
