@@ -37,6 +37,14 @@ HALO_ENABLED = os.environ.get("STORYGEN_HALO_CONV", "1") != "0"
 # see ops/pallas_conv.py::halo_downconv). Interpret-mode numerics and its
 # VJP remain tested; flip on only to re-evaluate on a newer toolchain.
 HALO_DOWN_ENABLED = os.environ.get("STORYGEN_HALO_DOWN", "0") == "1"
+# In-kernel GN-affine+SiLU prologue fusion is OPT-IN: the r4 chip study
+# (scripts/bench_halo_conv.py HALO_FUSED=1) measured the fused variant at
+# 0.94-0.97x of prologue-as-XLA + unfused halo at every eligible L1/VAE
+# site (e.g. L1 res conv 0.625 vs 0.568 ms), and the headline bench was
+# flat-to-worse (0.2624 vs 0.2632 frames/s). The raw-input DMA saves no
+# HBM traffic (the XLA prologue fuses into the pad pass) while the
+# per-slab fp32 affine work lands on the kernel's critical path.
+HALO_FUSED = os.environ.get("STORYGEN_HALO_FUSED", "0") == "1"
 
 
 def _norm_padding(padding, kh: int, kw: int):
@@ -239,26 +247,30 @@ class SConv(nn.Module):
         sh, sw = ((self.strides, self.strides)
                   if isinstance(self.strides, int) else self.strides)
         if (ENABLED and _on_tpu() and sh == sw == 1 and (kh, kw) == (3, 3)):
-            # Try the fused halo path FIRST, on the RAW input: eligibility
-            # uses the incoming dtype (the kernel DMAs x as-is).
-            bh_f = halo_block_h(x_raw.shape, (kh, kw), self.padding,
-                                self.features, x_raw.dtype.itemsize,
-                                residual=residual is not None,
-                                fused=prologue is not None)
+            # Default: prologue as an XLA pass (it fuses into the halo
+            # pad), halo kernel on the normalized tensor. HALO_FUSED=1
+            # streams the RAW input and applies the prologue per-slab in
+            # VMEM instead — measured 0.94-0.97x, kept for re-evaluation.
+            fuse = prologue is not None and HALO_FUSED
+            xin = x_raw if fuse else _apply_prologue(x_raw)
+            bh_f = halo_block_h(xin.shape, (kh, kw), self.padding,
+                                self.features, xin.dtype.itemsize,
+                                residual=fuse and residual is not None,
+                                fused=fuse)
             if bh_f is not None:
                 beff = bc if extra_bias is None \
                     else (bc[None] + extra_bias.astype(self.dtype))
                 from storygen_tpu.ops.pallas_conv import (conv3x3,
                                                           gnconv3x3,
                                                           gnconvres3x3)
-                if prologue is not None and residual is not None:
+                if fuse and residual is not None:
                     a, s = prologue
                     return gnconvres3x3(x_raw, a, s, k, beff,
                                         residual.astype(self.dtype), bh_f)
-                if prologue is not None:
+                if fuse:
                     a, s = prologue
                     return gnconv3x3(x_raw, a, s, k, beff, bh_f)
-                y = conv3x3(x_raw.astype(self.dtype), k, beff, bh_f)
+                y = conv3x3(xin.astype(self.dtype), k, beff, bh_f)
                 return y if residual is None else y + residual
         x = _apply_prologue(x)
         if ENABLED and _on_tpu():
