@@ -117,3 +117,18 @@ def test_groupnorm_fold_affine_matches_direct():
     np.testing.assert_allclose(np.asarray(z * jax.nn.sigmoid(z)),
                                np.asarray(direct.apply(p, x)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_halo_fused_prologue_is_opt_in():
+    # The in-kernel GN+SiLU prologue measured 0.94-0.97x of the XLA
+    # prologue on chip (BENCH.md r4 study) — the default must stay the
+    # unfused dispatch, with fusion behind STORYGEN_HALO_FUSED=1.
+    assert SC.HALO_FUSED is False
+    # The fused eligibility charges the prologue's fp32 row-chunk
+    # temporaries, so at a fixed site it can never allow a TALLER slab
+    # than the unfused form.
+    shape = (9, 64, 64, 320)
+    bh_plain = SC.halo_block_h(shape, (3, 3), "SAME", 320, 2)
+    bh_fused = SC.halo_block_h(shape, (3, 3), "SAME", 320, 2, fused=True)
+    assert bh_plain is not None
+    assert bh_fused is None or bh_fused <= bh_plain
