@@ -193,6 +193,58 @@ def main():
     results["gnconv_bwd_relerr"] = fbe
     ok &= fbe < TOL_FWD
 
+    # VMEM-ceiling gate (ADVICE r4): VMEM_BUDGET leaves <1 MiB of the
+    # ~16 MiB/core for Mosaic's own buffers, calibrated on the current
+    # toolchain. Execute the HIGHEST-MODELED eligible site (fused and
+    # unfused dispatch) so a toolchain bump that grows Mosaic scratch
+    # fails here — loudly, on every gated suite run — instead of as a
+    # nondeterministic production OOM.
+    from storygen_tpu.ops.pallas_conv import gnconv3x3 as _gn, vmem_need
+    from storygen_tpu.ops.shift_conv import halo_block_h
+    SITES = [  # (h, w, cin, cout) across the real UNet/VAE dispatch set
+        (64, 64, 320, 320), (64, 64, 640, 320), (64, 64, 960, 320),
+        (64, 64, 640, 640), (512, 512, 128, 128), (256, 256, 256, 256),
+        (256, 256, 128, 256), (512, 512, 256, 128)]
+    best = None
+    for (h_, w_, ci, co) in SITES:
+        for fz in (False, True):
+            bh_ = halo_block_h((1, h_, w_, ci), (3, 3), "SAME", co, 2,
+                               fused=fz)
+            if bh_ is None:
+                continue
+            nd = vmem_need(bh_, h_, w_, ci, co, 2, fused=fz)
+            if best is None or nd > best[0]:
+                best = (nd, h_, w_, ci, co, bh_, fz)
+    nd, h_, w_, ci, co, bh_, fz = best
+    results["vmem_ceiling_mib"] = round(nd / 2 ** 20, 2)
+    kv = jax.random.split(jax.random.PRNGKey(13), 3)
+    xv = jax.random.normal(kv[0], (1, h_, w_, ci), jnp.bfloat16)
+    wv = jax.random.normal(kv[1], (3, 3, ci, co), jnp.bfloat16) * 0.02
+    bv = jax.random.normal(kv[2], (co,), jnp.bfloat16) * 0.1
+    if fz:
+        av = jnp.abs(jax.random.normal(kv[0], (1, ci), jnp.float32)) + 0.5
+        sv = jax.random.normal(kv[1], (1, ci), jnp.float32) * 0.2
+        got_v = jax.jit(lambda x, a, s, w, b: _gn(
+            x, a, s, w, jnp.broadcast_to(b[None], (1, co)), bh_))(
+                xv, av, sv, wv, bv).astype(jnp.float32)
+        zz = (xv.astype(jnp.float32) * av[:, None, None, :]
+              + sv[:, None, None, :])
+        want_v = jax.jit(shift_conv)(
+            (zz * jax.nn.sigmoid(zz)).astype(jnp.bfloat16)
+            .astype(jnp.float32),
+            wv.astype(jnp.float32), bv.astype(jnp.float32))
+    else:
+        got_v = jax.jit(lambda x, w, b: conv3x3(x, w, b, bh_))(
+            xv, wv, bv).astype(jnp.float32)
+        want_v = jax.jit(shift_conv)(
+            xv.astype(jnp.float32), wv.astype(jnp.float32),
+            bv.astype(jnp.float32))
+    ve = float(jnp.abs(got_v - want_v).max()
+               / (jnp.abs(want_v).max() + 1e-6))
+    results["vmem_ceiling_relerr"] = ve
+    results["vmem_ceiling_site"] = [h_, w_, ci, co, bh_, bool(fz)]
+    ok &= ve < TOL_FWD
+
     # stride-2 phase-split halo kernel, both model padding conventions.
     # QUARANTINED by default: the kernel faults the chip nondeterministically
     # (ops/pallas_conv.py known-fault note) and would kill this gate ~half

@@ -47,6 +47,14 @@ from storygen_tpu.ops.shift_conv import halo_block_h, shift_conv
 # over-predicted the one measured OOM by only 2.7% (24.85M predicted vs
 # 24.18M real scoped alloc), and the chip-probed fused L1/VAE sites sit
 # 13.7-15.0M modeled and run — so 15M of the 16M limit is safe margin.
+#
+# REVALIDATE ON TOOLCHAIN BUMPS: the <1 MiB of headroom is calibrated
+# against the current Mosaic; a compiler update that grows its own
+# scratch buffers could reintroduce site OOMs. scripts/tpu_kernel_check.py
+# ("vmem_ceiling") executes the highest-modeled eligible site on every
+# gated suite run, so a budget regression fails loudly there first —
+# if it does, lower VMEM_BUDGET (or fix vmem_need's model) before
+# touching any dispatch table.
 VMEM_BUDGET = 15 * 2 ** 20
 
 
@@ -179,27 +187,38 @@ def pick_block_h(h: int, w: int, cin: int, cout: int,
     construction, see _prologue_chunk) — the unchunked form's ~3 full
     fp32 slabs OOM'd the VAE-encoder 256px site in r4's quality run.
     """
-    wp = w + 2 + (-(w + 2)) % 8
-    cinp = cin + (-cin) % 128
-    coutp = cout + (-cout) % 128
     for bh in (32, 16, 8):
         if h % bh:
             continue
-        ctile = min(coutp, 128)
-        need = (2 * (bh + 2) * wp * cinp * itemsize      # 2 slab slots
-                + (bh + 2) * w * cinp * itemsize         # live dx view
-                + 9 * cinp * coutp * itemsize            # weights
-                + 2 * bh * w * coutp * itemsize          # out blocks
-                + 2 * bh * w * ctile * 4                 # fp32 acc + tap y
-                + bh * w * ctile * itemsize)             # out-cast temp
-        if residual:
-            need += 2 * bh * w * coutp * itemsize        # res in-blocks
-        if fused:
-            ck = min(_prologue_chunk(wp, cin), bh + 2)
-            need += 3 * ck * wp * cinp * 4               # prologue temps
-        if need <= VMEM_BUDGET:
+        if vmem_need(bh, h, w, cin, cout, itemsize, residual=residual,
+                     fused=fused) <= VMEM_BUDGET:
             return bh
     return None
+
+
+def vmem_need(bh: int, h: int, w: int, cin: int, cout: int,
+              itemsize: int = 2, residual: bool = False,
+              fused: bool = False) -> int:
+    """Modeled VMEM bytes for halo_conv at slab height `bh` — the
+    acceptance model pick_block_h tests against VMEM_BUDGET, exposed so
+    the on-chip gate (scripts/tpu_kernel_check.py "vmem_ceiling") can
+    find and execute the highest-modeled eligible site."""
+    wp = w + 2 + (-(w + 2)) % 8
+    cinp = cin + (-cin) % 128
+    coutp = cout + (-cout) % 128
+    ctile = min(coutp, 128)
+    need = (2 * (bh + 2) * wp * cinp * itemsize      # 2 slab slots
+            + (bh + 2) * w * cinp * itemsize         # live dx view
+            + 9 * cinp * coutp * itemsize            # weights
+            + 2 * bh * w * coutp * itemsize          # out blocks
+            + 2 * bh * w * ctile * 4                 # fp32 acc + tap y
+            + bh * w * ctile * itemsize)             # out-cast temp
+    if residual:
+        need += 2 * bh * w * coutp * itemsize        # res in-blocks
+    if fused:
+        ck = min(_prologue_chunk(wp, cin), bh + 2)
+        need += 3 * ck * wp * cinp * 4               # prologue temps
+    return need
 
 
 def halo_conv(x: jax.Array, kernel: jax.Array,

@@ -113,6 +113,109 @@ def im2col_conv(x: jax.Array, kernel: jax.Array,
     return y.astype(x.dtype)
 
 
+def _phase_pack(x: jax.Array, padding, ho: int, wo: int
+                ) -> jax.Array:
+    """Split the padded input into its four (row, col) parity phases:
+    returns ph (B, 2, 2, ho+1, wo+1, C) with
+    ph[:, p, q, i, j] = x_pad[:, 2i+p, 2j+q] (zero beyond the pad).
+
+    One relayout pass (pad + reshape + transpose) that the stride-2
+    formulations below share: after it, every kernel tap (dy, dx) is a
+    CONTIGUOUS window of phase (dy%2, dx%2) — no strided slicing on the
+    sublane axis, which is what made the 9-tap strided shift-GEMM lose.
+    """
+    (p0, p1), (q0, q1) = _norm_padding(padding, 3, 3)
+    b, h, w, c = x.shape
+    # enough rows/cols for tap offset dy//2 <= 1: 2*(ho+1) x 2*(wo+1)
+    hp, wp = 2 * (ho + 1), 2 * (wo + 1)
+    xp = jnp.pad(x, ((0, 0), (p0, hp - h - p0), (q0, wp - w - q0),
+                     (0, 0)))
+    ph = xp.reshape(b, ho + 1, 2, wo + 1, 2, c)
+    return ph.transpose(0, 2, 4, 1, 3, 5)
+
+
+def phase_conv(x: jax.Array, kernel: jax.Array,
+               bias: Optional[jax.Array] = None,
+               padding="SAME") -> jax.Array:
+    """Exact stride-2 3x3 NHWC conv via parity-phase decomposition
+    (pure XLA): tap (dy, dx) is a dot_general over a contiguous window
+    of phase (dy%2, dx%2) of the padded input. Same fp32 accumulation
+    and tap order as shift_conv/im2col — exact to reassociation.
+
+    Reformulation of the quarantined Pallas phase-split kernel
+    (ops/pallas_conv.py::halo_downconv) in XLA ops — immune to the
+    nondeterministic Mosaic fault, one strided relayout total
+    (VERDICT r4 #5; reference sites: diffusers Downsample2D via
+    /root/reference/model/unet_2d_blocks.py:5 and the VAE encoder's
+    asymmetric-pad strided convs)."""
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3), "phase_conv is specialized to 3x3 s2"
+    (p0, p1), (q0, q1) = _norm_padding(padding, kh, kw)
+    b, h, w, _ = x.shape
+    ho = (h + p0 + p1 - 3) // 2 + 1
+    wo = (w + q0 + q1 - 3) // 2 + 1
+    ph = _phase_pack(x, padding, ho, wo)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = jax.lax.slice(
+                ph, (0, dy % 2, dx % 2, dy // 2, dx // 2, 0),
+                (b, dy % 2 + 1, dx % 2 + 1, dy // 2 + ho,
+                 dx // 2 + wo, cin))[:, 0, 0]
+            y = jax.lax.dot_general(
+                xs, kernel[dy, dx], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    if bias is not None:
+        acc = acc + bias.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
+def s2d_conv(x: jax.Array, kernel: jax.Array,
+             bias: Optional[jax.Array] = None,
+             padding="SAME") -> jax.Array:
+    """Exact stride-2 3x3 NHWC conv via space-to-depth: pack the four
+    parity phases onto the channel axis ((B, ho+1, wo+1, 4*Cin)), then
+    the conv is a stride-1 2x2 conv with a (2, 2, 4*Cin, Cout) kernel
+    whose out-of-range taps are zero — 4 tap-GEMMs, one packed-input
+    read each. 16/9 the MACs of the 9-tap form (the zero rows ride the
+    MXU), in exchange for 9->4 operand reads; wins where the site is
+    bandwidth-bound, loses where it is MXU-bound — dispatch measured
+    per site (scripts/studies/bench_s2d_conv.py)."""
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3), "s2d_conv is specialized to 3x3 s2"
+    (p0, p1), (q0, q1) = _norm_padding(padding, kh, kw)
+    b, h, w, _ = x.shape
+    ho = (h + p0 + p1 - 3) // 2 + 1
+    wo = (w + q0 + q1 - 3) // 2 + 1
+    ph = _phase_pack(x, padding, ho, wo)  # (B, 2, 2, ho+1, wo+1, C)
+    packed = ph.transpose(0, 3, 4, 1, 2, 5).reshape(
+        b, ho + 1, wo + 1, 4 * cin)
+    # w2[a, b, (p, q, c), o] = kernel[2a+p, 2b+q, c, o], zero past 3
+    w2 = jnp.zeros((2, 2, 2, 2, cin, cout), kernel.dtype)
+    for a in range(2):
+        for bb in range(2):
+            for p in range(2):
+                for q in range(2):
+                    if 2 * a + p < 3 and 2 * bb + q < 3:
+                        w2 = w2.at[a, bb, p, q].set(
+                            kernel[2 * a + p, 2 * bb + q])
+    w2 = w2.reshape(2, 2, 4 * cin, cout)
+    acc = None
+    for a in range(2):
+        for bb in range(2):
+            xs = jax.lax.slice(
+                packed, (0, a, bb, 0),
+                (b, a + ho, bb + wo, 4 * cin))
+            y = jax.lax.dot_general(
+                xs, w2[a, bb], (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    if bias is not None:
+        acc = acc + bias.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
 def _on_tpu() -> bool:
     from storygen_tpu.ops.attention import _on_tpu as f
     return f()
@@ -252,7 +355,13 @@ class SConv(nn.Module):
             # streams the RAW input and applies the prologue per-slab in
             # VMEM instead — measured 0.94-0.97x, kept for re-evaluation.
             fuse = prologue is not None and HALO_FUSED
-            xin = x_raw if fuse else _apply_prologue(x_raw)
+            # Cast BEFORE dispatch either way: the fused kernels must see
+            # self.dtype input (an fp32 x under a bf16 policy would run
+            # the kernel fp32 — different numerics/VMEM than the unfused
+            # dispatch — and its custom_vjp would return db in the fp32
+            # cotangent dtype against a bf16 beff primal).
+            xin = x_raw.astype(self.dtype) if fuse \
+                else _apply_prologue(x_raw)
             bh_f = halo_block_h(xin.shape, (kh, kw), self.padding,
                                 self.features, xin.dtype.itemsize,
                                 residual=fuse and residual is not None,
@@ -265,11 +374,11 @@ class SConv(nn.Module):
                                                           gnconvres3x3)
                 if fuse and residual is not None:
                     a, s = prologue
-                    return gnconvres3x3(x_raw, a, s, k, beff,
+                    return gnconvres3x3(xin, a, s, k, beff,
                                         residual.astype(self.dtype), bh_f)
                 if fuse:
                     a, s = prologue
-                    return gnconv3x3(x_raw, a, s, k, beff, bh_f)
+                    return gnconv3x3(xin, a, s, k, beff, bh_f)
                 y = conv3x3(xin.astype(self.dtype), k, beff, bh_f)
                 return y if residual is None else y + residual
         x = _apply_prologue(x)

@@ -96,3 +96,27 @@ def test_sconv_on_cpu_unaffected():
     y = m.apply(p, x)
     assert y.shape == (1, 64, 64, 8)
     assert bool(jnp.isfinite(y).all())
+
+
+def test_pick_block_h_consistent_with_vmem_need_model():
+    """pick_block_h must accept exactly per the exposed vmem_need model
+    (the on-chip vmem_ceiling gate in scripts/tpu_kernel_check.py relies
+    on this equivalence to find the highest-modeled site)."""
+    from storygen_tpu.ops.pallas_conv import (VMEM_BUDGET, pick_block_h,
+                                              vmem_need)
+    cases = [(64, 64, 320, 320, False), (64, 64, 960, 320, False),
+             (512, 512, 128, 128, False), (256, 256, 256, 256, True),
+             (512, 512, 128, 128, True), (64, 64, 640, 640, True),
+             (256, 256, 128, 256, False)]
+    for (h, w, cin, cout, fz) in cases:
+        bh = pick_block_h(h, w, cin, cout, 2, fused=fz)
+        if bh is None:
+            assert all(vmem_need(c, h, w, cin, cout, 2, fused=fz)
+                       > VMEM_BUDGET for c in (32, 16, 8) if h % c == 0)
+            continue
+        assert vmem_need(bh, h, w, cin, cout, 2, fused=fz) <= VMEM_BUDGET
+        # it picked the LARGEST fitting slab
+        for cand in (32, 16):
+            if cand > bh and h % cand == 0:
+                assert (vmem_need(cand, h, w, cin, cout, 2, fused=fz)
+                        > VMEM_BUDGET)

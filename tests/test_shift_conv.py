@@ -132,3 +132,68 @@ def test_halo_fused_prologue_is_opt_in():
     bh_fused = SC.halo_block_h(shape, (3, 3), "SAME", 320, 2, fused=True)
     assert bh_plain is not None
     assert bh_fused is None or bh_fused <= bh_plain
+
+
+def test_fused_dispatch_casts_input_to_module_dtype(monkeypatch):
+    """ADVICE r4: the STORYGEN_HALO_FUSED=1 path must hand the fused
+    kernels x cast to the module dtype (mirroring the unfused conv3x3's
+    xin cast). An fp32 x under a bf16 policy would silently run the
+    kernel fp32 (numerics/VMEM diverge from the unfused dispatch) and
+    break the custom VJP: db comes back in the cotangent dtype (fp32)
+    against a bf16 beff primal."""
+    from storygen_tpu.ops import pallas_conv as PC
+    monkeypatch.setattr(SC, "HALO_FUSED", True)
+    monkeypatch.setattr(SC, "_on_tpu", lambda: True)
+    seen = {}
+
+    def fake_gnconv3x3(x, a, s, k, beff, bh, interpret=False):
+        seen["x"] = x.dtype
+        seen["beff"] = beff.dtype
+        bsh = (x.shape[0], 1, 1, x.shape[-1])
+        z = (x.astype(jnp.float32) * a.reshape(bsh) + s.reshape(bsh))
+        act = (z * jax.nn.sigmoid(z)).astype(x.dtype)
+        y = SC.shift_conv(act, k).astype(jnp.float32)
+        return (y + beff.astype(jnp.float32).reshape(
+            (beff.shape[0], 1, 1, -1) if beff.ndim == 2
+            else (1, 1, 1, -1))).astype(x.dtype)
+
+    monkeypatch.setattr(PC, "gnconv3x3", fake_gnconv3x3)
+    m = SC.SConv(features=64, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 64),
+                          jnp.float32)  # fp32 input under bf16 policy
+    a = jnp.ones((1, 64), jnp.float32)
+    s = jnp.zeros((1, 64), jnp.float32)
+    p = m.init(jax.random.PRNGKey(1), x, prologue=(a, s))
+    out = m.apply(p, x, prologue=(a, s))
+    assert seen["x"] == jnp.bfloat16
+    assert seen["beff"] == jnp.bfloat16
+    assert out.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("form", ["phase", "s2d"])
+@pytest.mark.parametrize("h,w,cin,cout,pad", [
+    (64, 64, 16, 24, "SAME"),                  # UNet downsample shape
+    (33, 33, 8, 8, ((0, 0), (0, 0))),          # VAE enc pre-padded VALID
+    (20, 12, 8, 16, ((0, 1), (0, 1))),         # asymmetric pad in-place
+    (16, 16, 8, 8, ((1, 1), (1, 1))),
+])
+def test_stride2_phase_formulations_exact(form, h, w, cin, cout, pad):
+    """phase_conv / s2d_conv == lax.conv stride-2 (fp32, exact up to
+    accumulation reassociation) across the model's padding conventions.
+    NOTE "SAME" here means the module's torch-pad=1 convention
+    (_norm_padding), NOT XLA's stride-2 SAME ((0,1)); normalize the
+    reference the same way."""
+    from storygen_tpu.ops.shift_conv import (_norm_padding, phase_conv,
+                                             s2d_conv)
+    kx, kk = jax.random.split(jax.random.PRNGKey(42))
+    x = jax.random.normal(kx, (2, h, w, cin), jnp.float32)
+    k = jax.random.normal(kk, (3, 3, cin, cout), jnp.float32) * 0.1
+    bias = jnp.linspace(-1, 1, cout, dtype=jnp.float32)
+    fn = phase_conv if form == "phase" else s2d_conv
+    got = fn(x, k, bias, padding=pad)
+    want = jax.lax.conv_general_dilated(
+        x, k, (2, 2), _norm_padding(pad, 3, 3),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
