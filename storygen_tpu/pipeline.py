@@ -588,59 +588,76 @@ class StoryGenPipeline:
             roundtrip acts as a mild denoiser), so conditioning features
             drift slightly from a decode/re-encode chain — an opt-in
             speed knob, not reference parity.
+
+        RNG: each frame k runs with `fold_in(rng, k)` (rng defaults to
+        PRNGKey(0)) — distinct initial latents and ref-noise draws per
+        frame, reproducible under a fixed seed. This matches the
+        reference's torch `generator` semantics, whose state ADVANCES
+        across the per-frame pipeline calls (model/pipeline.py:253-263;
+        generator=None draws fresh noise each call) — reusing one key
+        for every frame would start all frames of a story from
+        identical noise.
         Returns the generated frames, each (H, W, 3) in [0, 1].
         """
+        base_rng = kw.pop("rng", None)
+        if base_rng is None:
+            base_rng = jax.random.PRNGKey(0)
         if reuse_latents:
             return self._generate_story_latents(
                 prompts, first_frame, first_caption, max_refs,
-                normalize_refs, **kw)
+                normalize_refs, base_rng, **kw)
         history: List[Tuple[np.ndarray, str]] = []
         if first_frame is not None:
             history.append((np.asarray(first_frame),
                             first_caption or prompts[0]))
         frames: List[np.ndarray] = []
-        for prompt in prompts:
+        for k, prompt in enumerate(prompts):
+            frame_rng = jax.random.fold_in(base_rng, k)
             if not history:
-                img = self(stage="no", prompt=[prompt], **kw)
+                img = self(stage="no", prompt=[prompt], rng=frame_rng,
+                           **kw)
             else:
                 hist = history[-max_refs:]
                 refs = np.stack([f for f, _ in hist])[:, None]
                 if normalize_refs:
                     refs = refs * 2.0 - 1.0
                 img = self(stage="auto-regressive", prompt=[prompt],
-                           image_prompt=refs,
+                           image_prompt=refs, rng=frame_rng,
                            prev_prompt=[[c] for _, c in hist], **kw)
             frames.append(img[0])
             history.append((img[0], prompt))
         return frames
 
     def _generate_story_latents(self, prompts, first_frame, first_caption,
-                                max_refs, normalize_refs,
+                                max_refs, normalize_refs, base_rng,
                                 **kw) -> List[np.ndarray]:
         """generate_story(reuse_latents=True): the history is kept as
-        scaled latents and fed back via _generate(ref_latents=...)."""
+        scaled latents and fed back via _generate(ref_latents=...).
+        Per-frame keys are fold_in(base_rng, k), as in generate_story;
+        the optional first-frame encode uses fold_in(base_rng,
+        len(prompts)) — outside the frame-index range."""
         history: List[Tuple[jax.Array, str]] = []
         if first_frame is not None:
             frame = np.asarray(first_frame, dtype=np.float32)
             if normalize_refs:
                 frame = frame * 2.0 - 1.0
-            enc_rng = jax.random.fold_in(
-                kw.get("rng") if kw.get("rng") is not None
-                else jax.random.PRNGKey(0), 7)
+            enc_rng = jax.random.fold_in(base_rng, len(prompts))
             lat0 = self.sampler.encode_ref_latents(
                 self.params["vae"], jnp.asarray(frame)[None, None],
                 enc_rng)[0, 0]
             history.append((lat0, first_caption or prompts[0]))
         frames: List[np.ndarray] = []
-        for prompt in prompts:
+        for k, prompt in enumerate(prompts):
+            frame_rng = jax.random.fold_in(base_rng, k)
             if not history:
-                img, fin = self._generate(stage="no", prompt=[prompt], **kw)
+                img, fin = self._generate(stage="no", prompt=[prompt],
+                                          rng=frame_rng, **kw)
             else:
                 hist = history[-max_refs:]
                 refs = jnp.stack([l for l, _ in hist])[:, None]
                 img, fin = self._generate(
                     stage="auto-regressive", prompt=[prompt],
-                    ref_latents=refs,
+                    ref_latents=refs, rng=frame_rng,
                     prev_prompt=[[c] for _, c in hist], **kw)
             frames.append(img[0])
             history.append((fin[0], prompt))

@@ -340,11 +340,13 @@ def test_generate_story_feeds_refs_in_distribution(setup):
     frames = pipe.generate_story(["a fox", "the fox runs"], **kw)
     assert len(frames) == 2
 
-    f1 = pipe(stage="no", prompt=["a fox"], **kw)[0]
+    # frame k of the rollout runs with fold_in(PRNGKey(0), k)
+    rng = [jax.random.fold_in(jax.random.PRNGKey(0), k) for k in (0, 1)]
+    f1 = pipe(stage="no", prompt=["a fox"], rng=rng[0], **kw)[0]
     np.testing.assert_array_equal(frames[0], f1)
     f2 = pipe(stage="auto-regressive", prompt=["the fox runs"],
               image_prompt=f1[None, None],  # [0,1] as decoded
-              prev_prompt=[["a fox"]], **kw)[0]
+              prev_prompt=[["a fox"]], rng=rng[1], **kw)[0]
     np.testing.assert_array_equal(frames[1], f2)
 
     # normalize_refs=True must change the conditioning (refs in [-1,1])
@@ -438,12 +440,14 @@ def test_generate_story_reuse_latents(setup):
                                  reuse_latents=True, **kw)
     assert len(frames) == 2
 
-    f1, lat1 = pipe._generate(stage="no", prompt=["a fox"], **kw)
+    rng = [jax.random.fold_in(jax.random.PRNGKey(0), k) for k in (0, 1)]
+    f1, lat1 = pipe._generate(stage="no", prompt=["a fox"], rng=rng[0],
+                              **kw)
     np.testing.assert_array_equal(frames[0], f1[0])
     f2, _ = pipe._generate(stage="auto-regressive",
                            prompt=["the fox runs"],
                            ref_latents=lat1[None],
-                           prev_prompt=[["a fox"]], **kw)
+                           prev_prompt=[["a fox"]], rng=rng[1], **kw)
     np.testing.assert_array_equal(frames[1], f2[0])
 
     # frame 1 has no refs -> identical across modes; frame 2 must
@@ -451,3 +455,57 @@ def test_generate_story_reuse_latents(setup):
     frames_px = pipe.generate_story(["a fox", "the fox runs"], **kw)
     np.testing.assert_array_equal(frames_px[0], frames[0])
     assert np.abs(frames_px[1] - frames[1]).max() > 0
+
+
+@pytest.mark.slow
+def test_generate_story_distinct_rng_per_frame(setup, monkeypatch):
+    """Every frame of a story must start from DISTINCT initial noise:
+    the reference's torch generator advances state across the per-frame
+    pipeline calls (model/pipeline.py:253-263), so frame k's initial
+    latents and ref-noising draws differ from frame k-1's. Round-4
+    regression: the rollout reused one key for every frame, starting
+    every frame of a story from identical initial latents."""
+    from storygen_tpu.pipeline import StoryGenPipeline
+    pipe = _tiny_pipe(setup)
+    kw = dict(height=64, width=64, num_inference_steps=2)
+
+    seen_rngs = []
+    orig_call = StoryGenPipeline.__call__
+
+    def spy(self, *a, **k):
+        seen_rngs.append(k.get("rng"))
+        return orig_call(self, *a, **k)
+
+    monkeypatch.setattr(StoryGenPipeline, "__call__", spy)
+    base = jax.random.PRNGKey(3)
+    pipe.generate_story(["a", "b", "c"], rng=base, **kw)
+    assert len(seen_rngs) == 3 and all(r is not None for r in seen_rngs)
+    # keys are fold_in(base, k): pairwise distinct, and so are the
+    # initial latents they induce (the k_lat = split(rng, 5)[0] draw)
+    for k, r in enumerate(seen_rngs):
+        np.testing.assert_array_equal(
+            np.asarray(r), np.asarray(jax.random.fold_in(base, k)))
+    lat = [jax.random.normal(jax.random.split(r, 5)[0], (1, 8, 8, 4))
+           for r in seen_rngs]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert np.abs(np.asarray(lat[i] - lat[j])).max() > 0
+
+
+@pytest.mark.slow
+def test_generate_story_seeded_rollout_is_bitwise_stable(setup):
+    """Fixed seed => bitwise-identical rollout (and the default seed is
+    PRNGKey(0)); a different seed changes the frames."""
+    pipe = _tiny_pipe(setup)
+    kw = dict(height=64, width=64, num_inference_steps=2)
+    a = pipe.generate_story(["a fox", "the fox runs"],
+                            rng=jax.random.PRNGKey(5), **kw)
+    b = pipe.generate_story(["a fox", "the fox runs"],
+                            rng=jax.random.PRNGKey(5), **kw)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(fa, fb)
+    d = pipe.generate_story(["a fox", "the fox runs"], **kw)  # PRNGKey(0)
+    d2 = pipe.generate_story(["a fox", "the fox runs"], **kw)
+    for fa, fb in zip(d, d2):
+        np.testing.assert_array_equal(fa, fb)
+    assert any(np.abs(fa - fb).max() > 0 for fa, fb in zip(a, d))
