@@ -89,12 +89,15 @@ def main():
     ap.add_argument("--stories", type=int, default=18)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--test-stories", type=int, default=4)
+    # learning-curve support (VERDICT r4 #4): score any exported
+    # checkpoint_<N> from the same training trajectory
+    ap.add_argument("--ckpt_step", type=int, default=50)
     args = ap.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
     ensure_synth(args.data, args.stories, args.frames, args.test_stories)
     train_dir = os.path.join(args.root, "train")
-    ckpt = os.path.join(train_dir, "checkpoint_50")
+    ckpt = os.path.join(train_dir, f"checkpoint_{args.ckpt_step}")
 
     # ---- 1. train the stage-2 smoke checkpoint (reference operating
     # point: eff. batch 96, lr 1e-5, masked MSE, attn3-only)

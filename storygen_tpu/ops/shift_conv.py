@@ -401,11 +401,29 @@ class SConv(nn.Module):
                     from storygen_tpu.ops.pallas_conv import downconv3x3
                     bho, pad = dn
                     return _add_extra(downconv3x3(x, k, bc, pad, bho))
-                # im2col materializes a (B, Ho, Wo, Kh*Kw*Cin) patch
-                # tensor; it wins at the UNet's small-spatial strided
-                # sites but the extra HBM pass loses once that tensor is
-                # large (512px VAE encoder: measured +140 ms on the
-                # non-precomputed train step). Cap it.
+                if (kh, kw) == (3, 3) and sh == sw == 2:
+                    # Measured 3x3-s2 dispatch (r5 study,
+                    # scripts/studies/bench_s2d_conv.py on v5e): XLA's
+                    # implicit-GEMM conv wins every wide/batched site —
+                    # 3.0x over the old im2col at the 64px UNet
+                    # downsample (0.190 vs 0.570 ms b9) and 13-26x at
+                    # the batched 512px VAE-encoder sites. The parity-
+                    # phase decomposition (phase_conv) wins the deep
+                    # narrow-spatial band instead: L3 down 1.29x, L2
+                    # down 1.03x, VAE enc 128px 1.06x over native.
+                    # im2col won NO 3x3-s2 site; the s2d channel-packed
+                    # form lost everywhere (16/9 MAC overhead).
+                    if cin >= 512 and x.size <= 10 * 2 ** 20:
+                        return _add_extra(
+                            phase_conv(x, k, bc, self.padding))
+                    y = jax.lax.conv_general_dilated(
+                        x, k, (sh, sw), _norm_padding(self.padding, kh, kw),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    return _add_extra(
+                        (y.astype(jnp.float32)
+                         + bc.astype(jnp.float32)).astype(self.dtype))
+                # non-3x3 strided kernels: im2col GEMM while the patch
+                # tensor stays small, native conv beyond
                 b_, h_, w_ = x.shape[0], x.shape[1] // sh, x.shape[2] // sw
                 cols_bytes = b_ * h_ * w_ * kh * kw * cin * x.dtype.itemsize
                 if cols_bytes <= 64 * 2 ** 20:

@@ -197,3 +197,53 @@ def test_stride2_phase_formulations_exact(form, h, w, cin, cout, pad):
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_stride2_dispatch_rule(monkeypatch):
+    """r5 measured 3x3-s2 dispatch (scripts/studies/bench_s2d_conv.py):
+    phase_conv for the deep narrow-spatial band (cin>=512, <=10M input
+    elements), XLA native conv elsewhere; im2col never for 3x3 s2. All
+    branches exact vs lax.conv under the torch padding convention."""
+    calls = []
+    real_phase = SC.phase_conv
+    real_im2col = SC.im2col_conv
+    real_native = jax.lax.conv_general_dilated
+
+    monkeypatch.setattr(SC, "_on_tpu", lambda: True)
+    monkeypatch.setattr(SC, "phase_conv",
+                        lambda *a, **k: (calls.append("phase"),
+                                         real_phase(*a, **k))[1])
+    monkeypatch.setattr(SC, "im2col_conv",
+                        lambda *a, **k: (calls.append("im2col"),
+                                         real_im2col(*a, **k))[1])
+    monkeypatch.setattr(
+        jax.lax, "conv_general_dilated",
+        lambda *a, **k: (calls.append("native"),
+                         real_native(*a, **k))[1])
+
+    def run(b, h, cin, cout, pad):
+        m = SC.SConv(features=cout, strides=(2, 2), padding=pad)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(b, h, h, cin).astype(np.float32))
+        p = m.init(jax.random.PRNGKey(0), x)
+        calls.clear()
+        y = m.apply(p, x)
+        want = real_native(
+            x, p["params"]["kernel"], (2, 2),
+            SC._norm_padding(pad, 3, 3),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) \
+            + p["params"]["bias"]
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        return calls[0]
+
+    sym = ((1, 1), (1, 1))
+    # L3/L2 down band and VAE enc 128px: phase
+    assert run(2, 16, 640, 640, sym) == "phase"
+    assert run(1, 16, 1280, 1280, sym) == "phase"
+    # wide or shallow sites: native (the old im2col lost 3x here)
+    assert run(2, 64, 320, 320, sym) == "native"
+    assert run(1, 64, 256, 256, sym) == "native"
+    # batched deep site past the 10M-element band: native
+    assert run(16, 64, 512, 512, sym) == "native"
+    assert "im2col" not in calls
