@@ -63,6 +63,13 @@ def main():
     # reference parity). Skips n_refs VAE encodes per frame.
     reuse = ("--reuse-latents" in sys.argv
              or os.environ.get("STORY_REUSE_LATENTS", "0") == "1")
+    # --fused / STORY_FUSED=1: the whole 4-frame story as ONE jitted
+    # program (StoryGenSampler.story_rollout): one dispatch per story
+    # and one VAE-encoder pass per generated frame (posterior moments
+    # cached) — same algorithm as the per-frame rollout, equal to
+    # float32 roundoff (cross-frame fusion; tests/test_pipeline.py).
+    fused = ("--fused" in sys.argv
+             or os.environ.get("STORY_FUSED", "0") == "1")
 
     def make_frame_fn(n_refs: int):
         @jax.jit
@@ -91,7 +98,22 @@ def main():
 
     frame_fns = [make_frame_fn(n) for n in range(4)]
 
+    def run_story_fused(story_key, salt):
+        lks = jax.random.split(story_key, 4)
+        text_cs = jnp.stack(
+            [jax.random.normal(k2, (b, 77, 768), jnp.float32) * 0.02
+             for k2 in lks])
+        # salt chains each story through the previous one's output so the
+        # tunnel cannot elide repeated identical launches
+        text_cs = text_cs + salt.astype(jnp.float32) * 1e-6
+        out = sampler.story_rollout(
+            params, text_u, text_cs, story_key, jnp.asarray(7.0),
+            jnp.asarray(3.5), num_inference_steps=steps)
+        return out.mean()
+
     def run_story(story_key, salt):
+        if fused:
+            return run_story_fused(story_key, salt)
         lks = jax.random.split(story_key, 8)
         lat0s = [jax.random.normal(k, (b, hw, hw, 4), jnp.float32)
                  for k in lks[:4]]
@@ -131,7 +153,8 @@ def main():
     p50 = times[len(times) // 2]
     print(json.dumps({
         "metric": "story_p50_latency_4frame_512px_ddim50"
-                  + ("_reuse_latents" if reuse else ""),
+                  + ("_reuse_latents" if reuse else "")
+                  + ("_fused" if fused else ""),
         "value": round(p50, 3),
         "unit": "s/story",
         "all_times": [round(t, 3) for t in times],

@@ -356,6 +356,133 @@ class StoryGenSampler:
                              method=self.vae.decode)
         return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
+    # ----------------------------------------------------------- story
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("num_inference_steps", "max_refs",
+                                        "sampler", "eta",
+                                        "ref_feature_interval",
+                                        "normalize_refs", "height",
+                                        "width"))
+    def story_rollout(self, params: Dict[str, Params],
+                      text_uncond: jax.Array, text_conds: jax.Array,
+                      rng: jax.Array, guidance_scale: jax.Array,
+                      image_guidance_scale: jax.Array,
+                      first_frame: Optional[jax.Array] = None,
+                      first_caption_emb: Optional[jax.Array] = None, *,
+                      num_inference_steps: int = 50, max_refs: int = 3,
+                      sampler: str = "ddim", eta: float = 0.0,
+                      ref_feature_interval: int = 1,
+                      normalize_refs: bool = False,
+                      height: int = 512, width: int = 512) -> jax.Array:
+        """The FULL autoregressive story as ONE jitted program.
+
+        Equivalent to generate_story's per-frame pipeline calls (frame 1
+        via stage='no', frame k conditioned on up to `max_refs` previous
+        frames; the paper's usage of inference.py:103-115) but fused into
+        a single dispatch, with two tail optimizations:
+
+        - one launch per STORY instead of one per frame — the per-frame
+          dispatch latency (O(100 ms) through a remote-chip tunnel)
+          disappears from the rollout's critical path;
+        - each generated frame's pixels run the VAE ENCODER exactly once:
+          the posterior MOMENTS are cached and re-sampled with that
+          frame's key whenever the frame serves as a reference (the
+          unfused rollout re-encodes the same pixels at up to `max_refs`
+          subsequent frames). The encoder is deterministic, so caching
+          moments is exact.
+
+        Numerics: same algorithm and key discipline as the unfused path
+        (frame 0 of a 2-step tiny rollout reproduces it bitwise), but
+        XLA fuses across the frame boundary (decode epilogue into the
+        next frame's encoder prologue), reordering elementwise float32
+        math — feedback frames match the per-frame rollout to roundoff
+        (observed <= ~1e-6 abs in [0, 1] pixels; pinned at 2e-5 by
+        tests/test_pipeline.py).
+
+        Args:
+          text_uncond: (B, 77, 768) empty-prompt embedding.
+          text_conds: (F, B, 77, 768) one caption embedding per frame.
+          rng: base key; frame k uses fold_in(rng, k), split exactly as
+            _generate does (k_lat, k_ref, k_zero, k_noise, k_eta).
+          first_frame: optional (B, H, W, 3) conditioning image in [0, 1]
+            (GT opening frame) with `first_caption_emb` (B, 77, 768).
+          normalize_refs: feed history frames to the VAE in [-1, 1]
+            instead of the reference-checkpoint [0, 1] convention.
+        Returns (F, B, H, W, 3) story frames in [0, 1].
+
+        Compile note: the program inlines F sampler loops (one per
+        distinct ref count) — the first compile is long; it is cached in
+        the persistent compilation cache like every other program here.
+        """
+        from storygen_tpu.models.vae import DiagonalGaussian
+        b = text_uncond.shape[0]
+        num_frames = int(text_conds.shape[0])
+        h_lat, w_lat = height // 8, width // 8
+        sf = self.vae.config.scaling_factor
+
+        def enc_moments(img):
+            x = img * 2.0 - 1.0 if normalize_refs else img
+            return self.vae.apply(params["vae"], x.astype(jnp.float32),
+                                  method=self.vae.encode)
+
+        # the zero-image (CFG uncond ref) moments are frame-invariant:
+        # encode once, sample per frame with that frame's k_zero —
+        # bitwise-identical to _generate's per-frame zero encode
+        zero_dist = self.vae.apply(
+            params["vae"], jnp.zeros((b, height, width, 3), jnp.float32),
+            method=self.vae.encode)
+
+        hist_m: List[Any] = []
+        hist_c: List[jax.Array] = []
+        if first_frame is not None:
+            hist_m.append(enc_moments(first_frame))
+            hist_c.append(first_caption_emb)
+
+        frames = []
+        for k in range(num_frames):
+            fk = jax.random.fold_in(rng, k)
+            k_lat, k_ref, k_zero, k_noise, k_eta = jax.random.split(fk, 5)
+            lat0 = jax.random.normal(
+                k_lat, (b, h_lat, w_lat, 4),
+                jnp.float32) * self.schedule.init_noise_sigma
+            noise = jax.random.normal(k_noise, (b, h_lat, w_lat, 4),
+                                      jnp.float32)
+            n = min(len(hist_m), max_refs)
+            if n == 0:
+                lat = self.sample(
+                    params, lat0, text_uncond, text_conds[k], None, None,
+                    None, None, noise, guidance_scale,
+                    image_guidance_scale, stage="no",
+                    num_inference_steps=num_inference_steps,
+                    sampler=sampler, eta=eta, sample_rng=k_eta)
+            else:
+                # one posterior draw over the flat (n*B, h, w, 4) stack —
+                # the same shape and key encode_ref_latents uses, so the
+                # draw is bitwise-identical to the unfused path's
+                dists = hist_m[-n:]
+                flat = DiagonalGaussian(
+                    jnp.concatenate([d.mean for d in dists], axis=0),
+                    jnp.concatenate([d.logvar for d in dists], axis=0))
+                refs = (flat.sample(k_ref) * sf).reshape(
+                    (n, b, h_lat, w_lat, 4))
+                zero_lat = zero_dist.sample(k_zero) * sf
+                prev_c = jnp.stack(hist_c[-n:])
+                prev_u = jnp.broadcast_to(text_uncond[None],
+                                          (n,) + text_uncond.shape)
+                lat = self.sample(
+                    params, lat0, text_uncond, text_conds[k], refs,
+                    zero_lat, prev_u, prev_c, noise, guidance_scale,
+                    image_guidance_scale, stage="auto-regressive",
+                    num_inference_steps=num_inference_steps,
+                    sampler=sampler, eta=eta, sample_rng=k_eta,
+                    ref_feature_interval=ref_feature_interval)
+            img = self.decode(params["vae"], lat)
+            frames.append(img)
+            if k + 1 < num_frames:  # the last frame is never a ref
+                hist_m.append(enc_moments(img))
+                hist_c.append(text_conds[k])
+        return jnp.stack(frames)
+
 
 class StoryGenPipeline:
     """End-to-end host-facing pipeline (tokenize -> sample -> decode).
@@ -564,7 +691,7 @@ class StoryGenPipeline:
                        first_frame: Optional[np.ndarray] = None,
                        first_caption: Optional[str] = None,
                        max_refs: int = 3, normalize_refs: bool = False,
-                       reuse_latents: bool = False,
+                       reuse_latents: bool = False, fused: bool = False,
                        **kw) -> List[np.ndarray]:
         """Autoregressive story rollout: generate frame k conditioned on up
         to `max_refs` previous frames and their captions (the paper's usage
@@ -588,6 +715,13 @@ class StoryGenPipeline:
             roundtrip acts as a mild denoiser), so conditioning features
             drift slightly from a decode/re-encode chain — an opt-in
             speed knob, not reference parity.
+          fused: True runs the whole story as ONE jitted program
+            (StoryGenSampler.story_rollout): one dispatch per story, and
+            each frame's VAE-encoder pass runs once with its posterior
+            moments cached. Same algorithm and rng discipline as the
+            default per-frame path; frames match it to float32 roundoff
+            (cross-frame fusion reorders elementwise math; ~1e-6 abs).
+            First compile is long (persisted in the compilation cache).
 
         RNG: each frame k runs with `fold_in(rng, k)` (rng defaults to
         PRNGKey(0)) — distinct initial latents and ref-noise draws per
@@ -602,8 +736,16 @@ class StoryGenPipeline:
         base_rng = kw.pop("rng", None)
         if base_rng is None:
             base_rng = jax.random.PRNGKey(0)
+        if reuse_latents and fused:
+            raise ValueError("fused=True implies the exact decode->encode "
+                             "feedback chain; reuse_latents is a different "
+                             "conditioning semantics — pick one")
         if reuse_latents:
             return self._generate_story_latents(
+                prompts, first_frame, first_caption, max_refs,
+                normalize_refs, base_rng, **kw)
+        if fused:
+            return self._generate_story_fused(
                 prompts, first_frame, first_caption, max_refs,
                 normalize_refs, base_rng, **kw)
         history: List[Tuple[np.ndarray, str]] = []
@@ -662,6 +804,34 @@ class StoryGenPipeline:
             frames.append(img[0])
             history.append((fin[0], prompt))
         return frames
+
+    def _generate_story_fused(self, prompts, first_frame, first_caption,
+                              max_refs, normalize_refs, base_rng,
+                              height: int = 512, width: int = 512,
+                              num_inference_steps: int = 50,
+                              guidance_scale: float = 7.5,
+                              image_guidance_scale: float = 3.5,
+                              sampler: str = "ddim", eta: float = 0.0,
+                              ref_feature_interval: int = 1
+                              ) -> List[np.ndarray]:
+        """generate_story(fused=True): one story_rollout dispatch. Host
+        work is tokenize/text-encode only (all prompts known upfront)."""
+        text_conds = jnp.stack([self.encode_prompt([p]) for p in prompts])
+        text_uncond = self.encode_prompt([""])
+        ff = fc = None
+        if first_frame is not None:
+            ff = jnp.asarray(first_frame, jnp.float32)[None]
+            fc = self.encode_prompt([first_caption or prompts[0]])
+        out = self.sampler.story_rollout(
+            self.params, text_uncond, text_conds, base_rng,
+            jnp.asarray(guidance_scale, jnp.float32),
+            jnp.asarray(image_guidance_scale, jnp.float32), ff, fc,
+            num_inference_steps=num_inference_steps, max_refs=max_refs,
+            sampler=sampler, eta=float(eta),
+            ref_feature_interval=int(ref_feature_interval),
+            normalize_refs=normalize_refs, height=height, width=width)
+        out = np.asarray(out)
+        return [out[k, 0] for k in range(out.shape[0])]
 
 
 def numpy_to_pil(images: np.ndarray):

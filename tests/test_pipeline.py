@@ -509,3 +509,51 @@ def test_generate_story_seeded_rollout_is_bitwise_stable(setup):
     for fa, fb in zip(d, d2):
         np.testing.assert_array_equal(fa, fb)
     assert any(np.abs(fa - fb).max() > 0 for fa, fb in zip(a, d))
+
+
+@pytest.mark.slow
+def test_generate_story_fused_matches_unfused(setup):
+    """The fused single-program rollout (generate_story(fused=True) ->
+    StoryGenSampler.story_rollout) must reproduce the default per-frame
+    rollout: same fold_in(rng, k) key discipline, the posterior draw over
+    the flat ref stack uses the same shape and key as encode_ref_latents,
+    and the cached encoder moments equal a re-encode (deterministic
+    encoder). Frame 0 (no feedback) must match BITWISE — it pins the key
+    discipline exactly. Feedback frames match to float32 roundoff only:
+    XLA fuses the decode epilogue into the next frame's encoder prologue
+    inside the single program, reordering elementwise math (observed
+    <= ~1.3e-6 abs; pinned at 2e-5). 3 frames exercises ref counts
+    0, 1, 2."""
+    pipe = _tiny_pipe(setup)
+    prompts = ["a fox", "the fox runs", "the fox rests"]
+    kw = dict(height=64, width=64, num_inference_steps=2)
+    rng = jax.random.PRNGKey(7)
+    ref = pipe.generate_story(prompts, rng=rng, **kw)
+    fused = pipe.generate_story(prompts, rng=rng, fused=True, **kw)
+    assert len(fused) == len(ref) == 3
+    np.testing.assert_array_equal(ref[0], fused[0], err_msg="frame 0")
+    for k, (fa, fb) in enumerate(zip(ref[1:], fused[1:]), start=1):
+        np.testing.assert_allclose(fa, fb, rtol=0, atol=2e-5,
+                                   err_msg=f"frame {k}")
+
+    # normalize_refs must thread through to the in-program encodes
+    ref_n = pipe.generate_story(prompts[:2], rng=rng,
+                                normalize_refs=True, **kw)
+    fused_n = pipe.generate_story(prompts[:2], rng=rng,
+                                  normalize_refs=True, fused=True, **kw)
+    np.testing.assert_allclose(ref_n[1], fused_n[1], rtol=0, atol=2e-5)
+
+    # first-frame conditioning path (GT opening frame + caption)
+    ff = np.asarray(ref[0])
+    ref_f = pipe.generate_story(prompts[:2], first_frame=ff,
+                                first_caption="an opening", rng=rng, **kw)
+    fused_f = pipe.generate_story(prompts[:2], first_frame=ff,
+                                  first_caption="an opening", rng=rng,
+                                  fused=True, **kw)
+    for fa, fb in zip(ref_f, fused_f):
+        np.testing.assert_allclose(fa, fb, rtol=0, atol=2e-5)
+
+    # fused + reuse_latents is a contradiction in semantics
+    with pytest.raises(ValueError):
+        pipe.generate_story(prompts[:2], fused=True, reuse_latents=True,
+                            **kw)
