@@ -63,6 +63,15 @@ def site_model(b, h, cin, cout, stride, formulation):
         # phase split: read x, write phases, read phases in-kernel
         flops = 2.0 * m * 9 * cinp * cout
         bytes_ = 3 * in_bytes + w_bytes + out_bytes
+    elif formulation == "native":
+        # XLA implicit-GEMM conv: one input read, no materialized patches
+        bytes_ = in_bytes + w_bytes + out_bytes
+    elif formulation == "phase":
+        # parity-phase decomposition (shift_conv.py::phase_conv): one
+        # relayout pass (read x + write the 4 quarter-phase images), then
+        # each of the 9 tap GEMMs reads one quarter-size phase window
+        bytes_ = (2 * in_bytes + 9 * (in_bytes // 4)
+                  + w_bytes + out_bytes)
     else:  # im2col: patches materialized once (write + read) then 1 GEMM
         patch_bytes = m * 9 * cin * 2
         bytes_ = in_bytes + 2 * patch_bytes + w_bytes + out_bytes
@@ -77,7 +86,16 @@ def pick_formulation(b, h, cin, cout, stride):
         if dn is not None:
             return "halo_dn", (lambda x, w: halo_downconv(
                 x, w, padding=((1, 1), (1, 1)), block_h=dn[0]))
-        return "im2col", (lambda x, w: im2col_conv(x, w, stride=stride))
+        # the retuned 3x3-s2 dispatch (shift_conv.py, r5 study): native
+        # XLA conv for wide/batched sites, phase decomposition for the
+        # deep narrow-spatial band
+        if cin >= 512 and b * h * h * cin <= 10 * 2 ** 20:
+            from storygen_tpu.ops.shift_conv import phase_conv
+            return "phase", (lambda x, w: phase_conv(
+                x, w, padding=((1, 1), (1, 1))))
+        return "native", (lambda x, w: jax.lax.conv_general_dilated(
+            x, w, (stride, stride), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
     bh = halo_block_h((b, h, h, cin), (3, 3), "SAME", cout, 2)
     if bh is not None:
         return "halo", (lambda x, w: halo_conv(x, w, block_h=bh))
