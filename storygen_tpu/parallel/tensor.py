@@ -78,6 +78,54 @@ def unet_param_spec(path: Tuple[str, ...], shape: Tuple[int, ...]) -> P:
     return P()
 
 
+def vae_param_spec(path: Tuple[str, ...], shape: Tuple[int, ...]) -> P:
+    """PartitionSpec for one VAE parameter.
+
+    The VAE decode is the dominant per-frame FIXED cost of the story
+    rollout (BENCH.md "Known headroom"), and the reference's AutoencoderKL
+    has no parallelism at all — this shards it for latency on the same
+    ("data", "tensor") mesh as the UNet.
+
+    The VAE's resnet blocks reuse the UNet naming (conv1 out-channel
+    split -> norm2 sees whole groups per shard -> conv2 in-channel split,
+    GSPMD inserts the psum), so unet_param_spec covers them; the only new
+    rules are the mid-block single-head AttentionBlock
+    (models/vae.py::VAEAttentionBlock, the diffusers AttentionBlock of
+    /root/reference's VAE): query/key/value column-split over the channel
+    axis (the q.kT contraction over the sharded channel becomes a psum),
+    proj_attn row-split + psum.
+
+    Group alignment at 8-way: decoder channels 512/256/128 with 32 groups
+    give 4/2/1 whole groups per shard — norm2/group_norm stats stay local
+    to a shard, same argument as the UNet's 320/640/1280."""
+    name = path[-2] if len(path) >= 2 else ""
+    leaf = path[-1]
+    if name in ("query", "key", "value"):
+        return P(None, TENSOR_AXIS) if leaf == "kernel" else P(TENSOR_AXIS)
+    if name == "proj_attn":
+        return P(TENSOR_AXIS, None) if leaf == "kernel" else P()
+    # group_norm feeding sharded q/k/v stays replicated (acts on the
+    # replicated block input); resnet norm1/norm2/conv1/conv2 fall through
+    # to the UNet rules, which key on the shared names.
+    if name == "group_norm":
+        return P()
+    return unet_param_spec(path, shape)
+
+
+def shard_vae_params(params: Any, mesh: Mesh) -> Any:
+    """Place VAE params on the mesh per vae_param_spec."""
+    flat = flatten_dict(params["params"])
+    ts = mesh.shape[TENSOR_AXIS]
+    out = {}
+    for path, w in flat.items():
+        spec = vae_param_spec(path, np.shape(w))
+        ok = all(d is None or np.shape(w)[i] % ts == 0
+                 for i, d in enumerate(spec))
+        out[path] = jax.device_put(
+            w, NamedSharding(mesh, spec if ok else P()))
+    return {"params": unflatten_dict(out)}
+
+
 def shard_unet_params(params: Any, mesh: Mesh) -> Any:
     """Place UNet params on the mesh per unet_param_spec."""
     flat = flatten_dict(params["params"])
