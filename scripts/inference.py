@@ -49,6 +49,10 @@ def main():
                     help="story rollout: condition on previous frames' "
                          "final latents instead of decode->re-encode "
                          "(speed knob, not reference parity)")
+    ap.add_argument("--fused", action="store_true",
+                    help="story rollout: run the whole story as ONE "
+                         "jitted program (one dispatch per story; same "
+                         "algorithm, float32-roundoff-equal frames)")
     ap.add_argument("--normalize_refs", action="store_true",
                     help="feed story-rollout history refs in [-1,1] "
                          "instead of the reference-checkpoint [0,1] quirk")
@@ -104,7 +108,8 @@ def main():
             sampler=args.sampler, eta=args.eta,
             ref_feature_interval=args.ref_feature_interval,
             normalize_refs=args.normalize_refs,
-            reuse_latents=args.reuse_latents)
+            reuse_latents=args.reuse_latents, fused=args.fused,
+            rng=jax.random.PRNGKey(args.seed))
         for i, f in enumerate(frames):
             Image.fromarray((f * 255).astype(np.uint8)).save(
                 os.path.join(args.logdir, f"story_frame{i}.png"))

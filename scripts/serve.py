@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOWED_KEYS = {
     "prompts", "num_inference_steps", "height", "width", "guidance_scale",
     "image_guidance_scale", "sampler", "seed", "max_refs", "normalize_refs",
-    "reuse_latents",
+    "reuse_latents", "fused",
 }
 
 
@@ -82,6 +82,11 @@ class StoryService:
             gen_kw["normalize_refs"] = bool(req["normalize_refs"])
         if "reuse_latents" in req:
             gen_kw["reuse_latents"] = bool(req["reuse_latents"])
+        if "fused" in req:
+            # one jitted program per story (one dispatch; float32-
+            # roundoff-equal frames) — best serving latency once the
+            # program is compile-cached
+            gen_kw["fused"] = bool(req["fused"])
 
         t0 = time.perf_counter()
         with self._lock:

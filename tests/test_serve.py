@@ -76,6 +76,21 @@ def test_service_generates_story(pipe):
     assert out["frames"] == out2["frames"]
 
 
+def test_service_fused_story_matches_default(pipe):
+    """`fused: true` requests route through the single-program rollout
+    and return frames equal to the per-frame path up to the PNG quantizer
+    (float32-roundoff difference << 1/255)."""
+    svc = StoryService(pipe)
+    req = {"prompts": ["a fox", "the fox runs"], "num_inference_steps": 2,
+           "height": 64, "width": 64, "seed": 3}
+    base = svc.handle_story(req)
+    fused = svc.handle_story({**req, "fused": True})
+    assert len(fused["frames"]) == 2
+    for a, b in zip(base["frames"], fused["frames"]):
+        ia, ib = _decode_png(a).astype(int), _decode_png(b).astype(int)
+        assert np.abs(ia - ib).max() <= 1
+
+
 def test_service_rejects_bad_requests(pipe):
     svc = StoryService(pipe)
     with pytest.raises(ValueError, match="unknown fields"):
