@@ -213,6 +213,16 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
     # reference logs only the last micro-batch's loss, which is too noisy
     # to judge its 50k-step runs by
     loss_sum, loss_n = jnp.zeros((), jnp.float32), 0
+    # Bound the async-dispatch depth to ~one optimizer step. JAX dispatch
+    # is asynchronous and each enqueued micro-step pins its host batch
+    # buffers (~55 MB at batch 4/512px) until the device executes it; a
+    # host that outruns the chip — easy through a tunneled TPU at ~0.55
+    # s/micro-step — otherwise enqueues unboundedly between the 50-step
+    # logging syncs and OOMs the HOST (observed: 130 GB RSS, kernel
+    # OOM-kill). Blocking on the PREVIOUS step's metrics keeps one full
+    # step in flight (no pipeline bubble) and caps pinned memory at
+    # ~2 optimizer steps of batches.
+    prev_step_sync = None
     for micro in range(int(state.step), micro_steps):
         batch = place_batch(next(it))
         rng, sub = jax.random.split(rng)
@@ -221,6 +231,9 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
         loss_n += 1
 
         if (micro + 1) % cfg.gradient_accumulation_steps == 0:
+            if prev_step_sync is not None:
+                jax.block_until_ready(prev_step_sync)
+            prev_step_sync = metrics["loss"]
             opt_step = (micro + 1) // cfg.gradient_accumulation_steps
             if opt_step % 50 == 0 or opt_step == 1:
                 loss = float(jax.device_get(loss_sum)) / max(loss_n, 1)
