@@ -18,20 +18,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-class PrecomputedLatentDataset:
-    """Loader-compatible dataset over precompute_latents.py output."""
-
-    def __init__(self, root: str):
-        self.root = root
-        self.files = sorted(f for f in os.listdir(root)
-                            if f.endswith(".npz"))
-
-    def __len__(self):
-        return len(self.files)
-
-    def __getitem__(self, i):
-        z = np.load(os.path.join(self.root, self.files[i]))
-        return {k: z[k] for k in z.files}
+# canonical home (re-exported here for older callers):
+from storygen_tpu.data.datasets import PrecomputedLatentDataset  # noqa: F401,E402
 
 
 def main():

@@ -60,6 +60,9 @@ def main():
                     default=[100, 250, 500],
                     help="stage-2 checkpoints to run the exact QUALITY "
                          "pass on (held-out CLIP-I learning curve)")
+    ap.add_argument("--no_latents", action="store_true",
+                    help="stage-2 with in-step VAE encodes (the reference "
+                         "default regime) instead of precomputed moments")
     ap.add_argument("--skip_stage1", action="store_true")
     ap.add_argument("--skip_stage2", action="store_true")
     ap.add_argument("--skip_fast_points", action="store_true")
@@ -91,6 +94,19 @@ def main():
              "--config", cfg] + plat)
     assert os.path.isdir(stage1_ckpt), f"no stage-1 export at {stage1_ckpt}"
 
+    # ---- 1b. precompute VAE posterior moments from the stage-1 export
+    # (the VAE is frozen in both stages, so these are exact for stage 2;
+    # the BENCH.md-recommended regime — 328 vs 572 ms/micro-step)
+    latents_dir = None
+    if not args.no_latents:
+        latents_dir = os.path.join(args.root, "latents")
+        done_flag = os.path.join(latents_dir, ".complete")
+        if not os.path.exists(done_flag):
+            run([sys.executable, "scripts/precompute_latents.py",
+                 "--ckpt", stage1_ckpt, "--dataset", args.data,
+                 "--out", latents_dir])
+            open(done_flag, "w").close()
+
     # ---- 2. stage-2 from the stage-1 export (the reference chain:
     # stage2_config.yml pretrained_model_path -> stage1_log)
     train_dir = os.path.join(args.root, "train")
@@ -100,6 +116,7 @@ def main():
                         os.path.join(args.root, "stage2_config.yml"),
                         logdir=train_dir, dataset_path=args.data,
                         pretrained_model_path=stage1_ckpt,
+                        latents_path=latents_dir,
                         train_steps=args.steps,
                         checkpointing_steps=args.ckpt_every,
                         validation_steps=10 ** 6,

@@ -48,7 +48,14 @@ def main():
     from storygen_tpu.training.trainer import train
 
     cfg = TrainConfig.from_yaml(args.config)
-    if args.stage == "coco":
+    if cfg.latents_path:
+        # precomputed VAE posterior moments + token ids (the BENCH.md
+        # recommended regime; scripts/precompute_latents.py)
+        from storygen_tpu.data.datasets import PrecomputedLatentDataset
+        dataset = PrecomputedLatentDataset(cfg.latents_path)
+        val_dataset = (None if args.stage == "coco"
+                       else StorySalonDataset(cfg.dataset_path, "test"))
+    elif args.stage == "coco":
         dataset = COCOMultiSegDataset(cfg.dataset_path, seed=cfg.seed)
         val_dataset = None
     else:

@@ -162,6 +162,11 @@ class TrainConfig:
     logdir: str = "./logs/"
     dataset_path: str = "./StorySalon/"
     dataset_name: str = "all"
+    # Optional scripts/precompute_latents.py output dir: when set, the
+    # trainer reads VAE posterior moments + token ids instead of pixels
+    # (the BENCH.md-recommended regime; the step samples the posterior
+    # per iteration, so training stochasticity is preserved).
+    latents_path: Optional[str] = None
     train_steps: int = 50000
     train_batch_size: int = 12
     val_batch_size: int = 1

@@ -370,3 +370,39 @@ class COCOValMultiSegDataset(COCOMultiSegDataset):
             if os.path.exists(p):
                 out["prompt"] = _read_text(p)
         return out
+
+
+class PrecomputedLatentDataset:
+    """Training dataset over scripts/precompute_latents.py output.
+
+    Each item is one <index>.npz holding `latent_moments` (h, w, 8),
+    `ref_latent_moments` (N, h, w, 8), `mask` (H, W, 1), `input_ids`
+    (77,) and `ref_input_ids` (N, 77). The train step samples the stored
+    VAE posterior per step (training/steps.py `_sample_moments`), so
+    stochasticity is preserved while the per-step encoder work the
+    reference redoes every step (train_StorySalon_stage2.py:273-288)
+    disappears — the BENCH.md-recommended training regime (328 vs
+    572 ms/step at batch 4, 512px).
+
+    Moments are stored fp16 (posterior mean/logvar round-trip safely);
+    they are widened to float32 here and the step samples in fp32
+    before casting to the compute dtype.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.files = sorted(f for f in os.listdir(root)
+                            if f.endswith(".npz"))
+        if not self.files:
+            raise FileNotFoundError(f"no .npz latent files under {root}")
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, i: int) -> Dict:
+        z = np.load(os.path.join(self.root, self.files[i]))
+        out = {k: z[k] for k in z.files}
+        for k in ("latent_moments", "ref_latent_moments", "mask"):
+            if k in out:
+                out[k] = out[k].astype(np.float32)
+        return out

@@ -50,6 +50,21 @@ def collate(samples: Sequence[Dict],
         out["image"] = np.stack([s["image"] for s in samples])
     if "mask" in keys:
         out["mask"] = np.stack([s["mask"] for s in samples])
+    # precomputed-latent samples (data/datasets.py PrecomputedLatentDataset)
+    # arrive pre-tokenized with VAE posterior moments instead of pixels
+    if "latent_moments" in keys:
+        out["latent_moments"] = np.stack(
+            [s["latent_moments"] for s in samples])
+    if "ref_latent_moments" in keys:
+        out["ref_latent_moments"] = np.stack(
+            [s["ref_latent_moments"] for s in samples], axis=1)
+    if "input_ids" in keys:
+        out["input_ids"] = np.stack(
+            [s["input_ids"] for s in samples]).astype(np.int32)
+    if "ref_input_ids" in keys:
+        out["ref_input_ids"] = np.stack(
+            [s["ref_input_ids"] for s in samples],
+            axis=1).astype(np.int32)
     if "ref_images" in keys:
         out["ref_images"] = np.stack(
             [s["ref_images"] for s in samples], axis=1)

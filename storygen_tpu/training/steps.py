@@ -97,19 +97,25 @@ def make_train_step(unet, vae, text_encoder, sched: S.NoiseSchedule,
     use_refs = stage != "stage1"
     sf = vae.config.scaling_factor
 
-    def _sample_moments(moments: jax.Array, key: jax.Array) -> jax.Array:
+    def _sample_moments(moments: jax.Array, key: jax.Array,
+                        dtype=None) -> jax.Array:
         from storygen_tpu.models.vae import DiagonalGaussian
-        mean, logvar = jnp.split(moments, 2, axis=-1)
-        return DiagonalGaussian(mean, jnp.clip(logvar, -30.0, 20.0)
-                                ).sample(key) * sf
+        mean, logvar = jnp.split(moments.astype(jnp.float32), 2, axis=-1)
+        z = DiagonalGaussian(mean, jnp.clip(logvar, -30.0, 20.0)
+                             ).sample(key) * sf
+        return z.astype(dtype) if dtype is not None else z
 
     def step_fn(state: TrainState, frozen: FrozenBundle, batch: Dict,
                 rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
         ks = jax.random.split(rng, 6)
 
         # --- frozen encoders -------------------------------------------
+        # compute dtype of the encoder path: match what vae.encode would
+        # have produced so the precomputed program equals the image one
+        vdt = jax.tree_util.tree_leaves(frozen.vae)[0].dtype
         if "latent_moments" in batch:
-            latents = _sample_moments(batch["latent_moments"], ks[0])
+            latents = _sample_moments(batch["latent_moments"], ks[0],
+                                      dtype=vdt)
         else:
             latents = vae.apply(frozen.vae, batch["image"],
                                 method=vae.encode).sample(ks[0]) * sf
@@ -127,7 +133,8 @@ def make_train_step(unet, vae, text_encoder, sched: S.NoiseSchedule,
             n = num_refs
             ref_keys = jax.random.split(ks[3], n)
             if "ref_latent_moments" in batch:
-                ref_lat = jax.vmap(_sample_moments)(
+                ref_lat = jax.vmap(
+                    lambda m, k: _sample_moments(m, k, dtype=vdt))(
                     batch["ref_latent_moments"], ref_keys)
             else:
                 ref_imgs = batch["ref_images"]

@@ -304,3 +304,37 @@ def test_stage2_overfit_convergence(models):
     final = float(mf["loss"])
     assert np.isfinite(final)
     assert final < 0.5 * initial, (initial, final)
+
+
+def test_precomputed_latent_dataset_collate_feeds_step(models, tmp_path):
+    """npz dir -> PrecomputedLatentDataset -> collate -> stage-2 step:
+    the full trainer plumbing for scripts/precompute_latents.py output
+    (TrainConfig.latents_path), shapes per steps.py's batch contract."""
+    from storygen_tpu.data.datasets import PrecomputedLatentDataset
+    from storygen_tpu.data.loader import collate
+    rng = np.random.RandomState(11)
+    n, h = 3, 8
+    for i in range(3):
+        np.savez_compressed(
+            tmp_path / f"{i:08d}.npz",
+            latent_moments=(rng.randn(h, h, 8) * 0.3).astype(np.float16),
+            ref_latent_moments=(rng.randn(n, h, h, 8) * 0.3
+                                ).astype(np.float16),
+            mask=(rng.rand(IMG, IMG, 1) > 0.8).astype(np.float16),
+            input_ids=rng.randint(0, 64, (8,)).astype(np.int64),
+            ref_input_ids=rng.randint(0, 64, (n, 8)).astype(np.int64))
+    ds = PrecomputedLatentDataset(str(tmp_path))
+    assert len(ds) == 3
+    batch = collate([ds[0], ds[2]])
+    assert batch["latent_moments"].shape == (2, h, h, 8)
+    assert batch["latent_moments"].dtype == np.float32
+    assert batch["ref_latent_moments"].shape == (n, 2, h, h, 8)
+    assert batch["input_ids"].shape == (2, 8)
+    assert batch["input_ids"].dtype == np.int32
+    assert batch["ref_input_ids"].shape == (n, 2, 8)
+
+    step, state, frozen = _setup_stage(models, "stage2")
+    new_state, metrics = jax.jit(step)(state, frozen, batch,
+                                       jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
