@@ -209,6 +209,12 @@ def main():
                "clip_i_dist": dist(per_clip_i),
                "clip_t_dist": dist(per_clip_t),
                "pickscore_dist": dist(picks),
+               # raw per-window scores: two passes over the same windows
+               # + seeds (PRNGKey(i)) compare PAIRED, not just by summary
+               # stats (fast-operating-point certification, VERDICT r4 #1)
+               "per_window": {"clip_i": [float(v) for v in per_clip_i],
+                              "clip_t": [float(v) for v in per_clip_t],
+                              "pickscore": [float(v) for v in picks]},
                "num_windows": len(test_ds),
                "num_inference_steps": args.num_inference_steps,
                "sampler": args.sampler,
