@@ -142,6 +142,17 @@ def main():
     print(f"warmup (incl. compiles): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    # STORY_BENCH_GATE=<path>: hold AFTER compile/warmup until the gate
+    # file appears. Lets the minutes-long compile overlap other chip work
+    # while the TIMED stories still run on an idle chip (shared-chip
+    # timings are meaningless).
+    gate = os.environ.get("STORY_BENCH_GATE")
+    if gate:
+        print(f"warm; waiting for gate file {gate}", file=sys.stderr)
+        while not os.path.exists(gate):
+            time.sleep(5)
+        print("gate open; timing", file=sys.stderr)
+
     n_stories = 3
     times = []
     for i in range(n_stories):

@@ -92,12 +92,21 @@ def main():
     # learning-curve support (VERDICT r4 #4): score any exported
     # checkpoint_<N> from the same training trajectory
     ap.add_argument("--ckpt_step", type=int, default=50)
+    # ... or score an orbax save directly (no multi-GB export roundtrip):
+    # trained subtree from <root>/train/orbax/<orbax_step>, frozen params
+    # from --base_ckpt (the folder the run was initialized from)
+    ap.add_argument("--orbax_step", type=int, default=None)
+    ap.add_argument("--base_ckpt", default=None)
+    ap.add_argument("--stage", default="stage2")
     args = ap.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
     ensure_synth(args.data, args.stories, args.frames, args.test_stories)
     train_dir = os.path.join(args.root, "train")
     ckpt = os.path.join(train_dir, f"checkpoint_{args.ckpt_step}")
+    if args.orbax_step is not None:
+        assert args.base_ckpt, "--orbax_step needs --base_ckpt"
+        ckpt = args.base_ckpt
 
     # ---- 1. train the stage-2 smoke checkpoint (reference operating
     # point: eff. batch 96, lr 1e-5, masked MSE, attn3-only)
@@ -133,7 +142,18 @@ def main():
     from storygen_tpu.pipeline import StoryGenPipeline
 
     bundle = load_diffusers_pretrained(ckpt, dtype=jnp.bfloat16)
-    tok_dir = os.path.join(ckpt, "tokenizer")
+    if args.orbax_step is not None:
+        import orbax.checkpoint as ocp
+        from storygen_tpu.training import optim
+        raw = ocp.StandardCheckpointer().restore(os.path.join(
+            train_dir, "orbax", str(args.orbax_step)))
+        trained = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                               raw["state"]["trainable"])
+        _, frozen = optim.partition_params(
+            bundle["unet_params"], optim.STAGE_PREDICATES[args.stage])
+        bundle["unet_params"] = optim.merge_params(trained, frozen)
+        ckpt = f"{train_dir}/orbax@{args.orbax_step} (base {args.base_ckpt})"
+    tok_dir = os.path.join(args.base_ckpt or ckpt, "tokenizer")
     tokenizer = Tokenizer(tok_dir if os.path.isdir(tok_dir) else
                           "/root/reference/ckpt/stable-diffusion-v1-5")
     pipe = StoryGenPipeline(

@@ -173,6 +173,11 @@ class TrainConfig:
     gradient_accumulation_steps: int = 8
     validation_steps: int = 500
     checkpointing_steps: int = 5000
+    # diffusers-folder export cadence; None -> every checkpointing_steps.
+    # The export is a multi-GB host conversion (minutes of loop stall);
+    # set high to keep only cheap orbax saves in-loop and export offline
+    # (scripts/export_checkpoint.py).
+    export_steps: Optional[int] = None
     seed: int = 6666
     mixed_precision: str = "bf16"  # reference fp16; bf16 is the TPU policy
     learning_rate: float = 1e-5

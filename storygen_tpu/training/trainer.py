@@ -261,7 +261,14 @@ def train(stage: str = "stage2", config: Optional[TrainConfig] = None,
                 orbax_io.save_checkpoint(ckpt_dir, opt_step, host_state)
                 # export the FULL pipeline folder the reference stack opens
                 # (pipeline_save.save_pretrained parity,
-                # train_StorySalon_stage2.py:348-357)
+                # train_StorySalon_stage2.py:348-357). The export is a
+                # multi-GB host conversion that stalls the device loop
+                # for minutes; export_steps (default = checkpointing
+                # cadence) lets long runs keep cheap orbax saves only and
+                # export offline from them (scripts/export_checkpoint.py)
+                if opt_step % (cfg.export_steps
+                               or cfg.checkpointing_steps) != 0:
+                    continue
                 full = optim.merge_params(host_state.trainable, frozen_unet)
                 out_dir = os.path.join(cfg.logdir,
                                        f"checkpoint_{opt_step}")
